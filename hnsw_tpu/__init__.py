@@ -1,0 +1,22 @@
+"""hnsw_tpu — a TPU-native HNSW index-and-query engine (JAX/XLA/Pallas).
+
+Built from scratch with the capabilities of ``code-orangemonster/HNSW-``
+(/root/reference/README.md:2: "based on faiss and optimized for HNSW"); see
+SURVEY.md for the capability contract and BASELINE.md for targets.
+"""
+
+from .config import IP, L2, HnswConfig
+from .graph import GraphArrays, check_invariants, load_graph, save_graph
+from .models.brute import FlatIndex
+from .models.hnsw import HnswIndex
+from .ops.distances import brute_force_topk
+from .reference_impl import NumpyHnsw
+from .search import hnsw_search
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "IP", "L2", "HnswConfig", "GraphArrays", "HnswIndex", "FlatIndex",
+    "NumpyHnsw", "brute_force_topk", "hnsw_search", "check_invariants",
+    "save_graph", "load_graph", "__version__",
+]

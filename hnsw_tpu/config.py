@@ -1,0 +1,87 @@
+"""Index configuration.
+
+Capability parity target: the constructor surface of faiss ``IndexHNSWFlat`` —
+``(d, M, metric)`` plus the mutable ``hnsw.efConstruction`` / ``hnsw.efSearch``
+knobs (reference claims faiss-HNSW lineage, /root/reference/README.md:2; the
+concrete contract is SURVEY.md §2b C10).
+
+TPU-specific additions: ``capacity`` (device arrays are preallocated — no
+realloc on device, SURVEY.md §7 hard-part 5), ``max_level_cap`` (static shape
+for the per-level neighbor tables) and dtype control for vector storage.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+from typing import Any
+
+L2 = "l2"
+IP = "ip"
+_METRICS = (L2, IP)
+
+# Sentinel for "empty neighbor slot" / "unassigned node" throughout the graph
+# arrays. Chosen negative so validity tests are a single `>= 0` compare.
+NO_NEIGHBOR = -1
+
+
+@dataclasses.dataclass(frozen=True)
+class HnswConfig:
+    """Static hyperparameters of an HNSW index.
+
+    Mirrors faiss IndexHNSWFlat semantics:
+      * ``m``: number of links per node on levels >= 1 (faiss ``M``).
+      * ``m0``: links per node on level 0; faiss uses ``M * 2``.
+      * ``ef_construction`` / ``ef_search``: beam widths for build / query.
+      * ``level_mult``: lambda of the exponential level distribution,
+        faiss default ``1 / ln(M)``.
+    TPU-native statics:
+      * ``capacity``: max number of vectors; all HBM arrays preallocated to it.
+      * ``max_level_cap``: static number of upper levels (>=1) representable.
+        P(level >= L) = M^-L, so 8 levels covers capacity up to ~M^8.
+      * ``upper_capacity``: rows in the upper-level neighbor table. Only
+        ~capacity/M nodes have level >= 1; default gives 4x headroom.
+    """
+
+    dim: int
+    m: int = 32
+    metric: str = L2
+    capacity: int = 1_000_000
+    m0: int = -1  # -1 -> 2*m (faiss default)
+    ef_construction: int = 200
+    ef_search: int = 64
+    level_mult: float = -1.0  # -1 -> 1/ln(m)
+    max_level_cap: int = 6
+    upper_capacity: int = -1  # -1 -> auto
+    dtype: str = "float32"  # vector storage dtype: float32 | bfloat16
+    seed: int = 42
+
+    def __post_init__(self):
+        if self.metric not in _METRICS:
+            raise ValueError(f"metric must be one of {_METRICS}, got {self.metric!r}")
+        if self.dim <= 0 or self.m <= 1 or self.capacity <= 0:
+            raise ValueError("dim, m, capacity must be positive (m > 1)")
+        if self.dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"unsupported storage dtype {self.dtype!r}")
+        if self.m0 == -1:
+            object.__setattr__(self, "m0", 2 * self.m)
+        if self.level_mult < 0:
+            object.__setattr__(self, "level_mult", 1.0 / math.log(self.m))
+        if self.upper_capacity == -1:
+            # E[#nodes with level>=1] = capacity * P(level>=1) = capacity/m.
+            # 4x headroom, floor of 1024, keeps the table tiny vs level 0.
+            auto = max(1024, 4 * self.capacity // self.m)
+            object.__setattr__(self, "upper_capacity", min(auto, self.capacity))
+
+    # -- serialization ------------------------------------------------------
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self))
+
+    @classmethod
+    def from_json(cls, s: str) -> "HnswConfig":
+        d: dict[str, Any] = json.loads(s)
+        return cls(**d)
+
+    def replace(self, **kw) -> "HnswConfig":
+        return dataclasses.replace(self, **kw)

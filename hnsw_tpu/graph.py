@@ -1,0 +1,174 @@
+"""Graph storage: the HNSW multi-level graph as flat device arrays.
+
+Capability parity: faiss ``struct HNSW`` fields ``levels[] / offsets[] /
+neighbors[] / entry_point / max_level`` (SURVEY.md §2b C1). TPU realization:
+the graph is *data, not pointers* — fixed-shape int32 arrays preallocated to
+``capacity`` so one XLA executable serves the index for its whole life:
+
+  * ``neighbors0``      int32[capacity, m0]        level-0 adjacency, -1 padded
+  * ``levels``          int32[capacity]            level of node i, -1 unused
+  * ``upper_slot``      int32[capacity]            node -> row in upper tables
+  * ``upper_node``      int32[upper_capacity]      row -> node (inverse map)
+  * ``upper_neighbors`` int32[upper_cap, L, m]     adjacency at level l (row l-1)
+
+Only ~capacity/m nodes have level >= 1 (P(level>=l) = m^-l), so the upper
+adjacency is stored compacted through the slot indirection instead of wasting
+capacity * L * m ints.
+
+Scalars (entry_point, max_level, ntotal, n_upper) ride along as 0-d arrays so
+the whole graph is a single pytree usable inside jit.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import NO_NEIGHBOR, HnswConfig
+
+
+class GraphArrays(NamedTuple):
+    """Device-resident HNSW graph (a jit-friendly pytree)."""
+
+    neighbors0: jax.Array       # int32 [capacity, m0]
+    levels: jax.Array           # int32 [capacity]
+    upper_slot: jax.Array       # int32 [capacity]
+    upper_node: jax.Array       # int32 [upper_capacity]
+    upper_neighbors: jax.Array  # int32 [upper_capacity, max_level_cap, m]
+    entry_point: jax.Array      # int32 []
+    max_level: jax.Array        # int32 []  (-1 == empty graph)
+    ntotal: jax.Array           # int32 []
+    n_upper: jax.Array          # int32 []  (next free upper slot)
+
+
+def empty_graph(cfg: HnswConfig) -> GraphArrays:
+    c, u, L = cfg.capacity, cfg.upper_capacity, cfg.max_level_cap
+    i32 = jnp.int32
+    return GraphArrays(
+        neighbors0=jnp.full((c, cfg.m0), NO_NEIGHBOR, i32),
+        levels=jnp.full((c,), NO_NEIGHBOR, i32),
+        upper_slot=jnp.full((c,), NO_NEIGHBOR, i32),
+        upper_node=jnp.full((u,), NO_NEIGHBOR, i32),
+        upper_neighbors=jnp.full((u, L, cfg.m), NO_NEIGHBOR, i32),
+        entry_point=jnp.asarray(NO_NEIGHBOR, i32),
+        max_level=jnp.asarray(NO_NEIGHBOR, i32),
+        ntotal=jnp.asarray(0, i32),
+        n_upper=jnp.asarray(0, i32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Serialization (capability parity: faiss write_index/read_index, C12).
+# One .npz holds the graph arrays + vectors + the config as JSON; loading an
+# index and searching must be bit-identical to the pre-save index (tested).
+# ---------------------------------------------------------------------------
+
+def save_graph(path: str, graph: GraphArrays, vectors: jax.Array,
+               cfg: HnswConfig) -> None:
+    arrs = {f"graph_{k}": np.asarray(v) for k, v in graph._asdict().items()}
+    np.savez_compressed(path, vectors=np.asarray(vectors),
+                        config_json=np.bytes_(cfg.to_json()), **arrs)
+
+
+def load_graph(path: str):
+    """Returns (graph, vectors, config)."""
+    with np.load(path, allow_pickle=False) as z:
+        cfg = HnswConfig.from_json(bytes(z["config_json"].item()).decode())
+        graph = GraphArrays(**{
+            k: jnp.asarray(z[f"graph_{k}"]) for k in GraphArrays._fields
+        })
+        vectors = jnp.asarray(z["vectors"])
+    return graph, vectors, cfg
+
+
+# ---------------------------------------------------------------------------
+# Invariant checker — the race-detection analogue for the lock-free batched
+# build (SURVEY.md §5): since TPU inserts are made race-free by construction,
+# graph health is validated structurally after each build phase in debug mode.
+# ---------------------------------------------------------------------------
+
+def check_invariants(graph: GraphArrays, cfg: HnswConfig,
+                     strict: bool = True) -> dict:
+    """Validate structural invariants; returns stats. Raises on violation when
+    strict. Host-side (numpy) — debug/test path, not the hot path."""
+    g = {k: np.asarray(v) for k, v in graph._asdict().items()}
+    n = int(g["ntotal"])
+    errors: list[str] = []
+    stats: dict = {"ntotal": n, "max_level": int(g["max_level"])}
+
+    nbr0 = g["neighbors0"][:n]
+    valid0 = nbr0 >= 0
+    if n:
+        if (g["levels"][:n] < 0).any():
+            errors.append("unassigned level among first ntotal nodes")
+        if (nbr0 >= n).any():
+            errors.append("level-0 neighbor id out of range (dangling)")
+        self0 = valid0 & (nbr0 == np.arange(n)[:, None])
+        if self0.any():
+            errors.append("self-link at level 0")
+        # duplicate neighbors within a list
+        srt = np.sort(np.where(valid0, nbr0, np.iinfo(np.int32).max), axis=1)
+        if ((srt[:, 1:] == srt[:, :-1]) & (srt[:, 1:] != np.iinfo(np.int32).max)).any():
+            errors.append("duplicate neighbor within a level-0 list")
+        deg0 = valid0.sum(1)
+        stats["deg0_mean"] = float(deg0.mean())
+        stats["deg0_max"] = int(deg0.max())
+        stats["isolated0"] = int((deg0 == 0).sum())
+        if n > 1 and stats["isolated0"] > 0:
+            errors.append(f"{stats['isolated0']} isolated nodes at level 0")
+        # reciprocity rate (diagnostic, not an error: the heuristic legally
+        # prunes one direction, same as faiss shrink_neighbor_list)
+        import collections
+        edges = set()
+        rec = 0
+        tot = 0
+        for i in range(n):
+            for j in nbr0[i][valid0[i]]:
+                edges.add((i, int(j)))
+        for (i, j) in edges:
+            tot += 1
+            rec += (j, i) in edges
+        stats["reciprocity0"] = rec / max(tot, 1)
+
+        ep = int(g["entry_point"])
+        if not (0 <= ep < n):
+            errors.append(f"entry point {ep} out of range")
+        elif g["levels"][ep] != g["max_level"]:
+            errors.append("entry point level != max_level")
+
+        # upper-level tables
+        nu = int(g["n_upper"])
+        up_nodes = g["upper_node"][:nu]
+        if (up_nodes < 0).any() or (up_nodes >= n).any():
+            errors.append("upper_node table has invalid node id")
+        else:
+            if not (g["upper_slot"][up_nodes] == np.arange(nu)).all():
+                errors.append("upper_slot/upper_node maps are not inverse")
+            has_upper = g["levels"][:n] >= 1
+            if int(has_upper.sum()) != nu:
+                errors.append("n_upper != #nodes with level>=1")
+        for s in range(nu):
+            node = int(up_nodes[s])
+            lvl = int(g["levels"][node])
+            for l in range(1, min(lvl, cfg.max_level_cap) + 1):
+                lst = g["upper_neighbors"][s, l - 1]
+                lst = lst[lst >= 0]
+                if (lst >= n).any():
+                    errors.append(f"dangling upper neighbor at node {node} lvl {l}")
+                    break
+                if (g["levels"][lst] < l).any():
+                    errors.append(
+                        f"upper neighbor below its level at node {node} lvl {l}")
+                    break
+                if (lst == node).any():
+                    errors.append(f"self-link at node {node} lvl {l}")
+                    break
+
+    stats["errors"] = errors
+    if strict and errors:
+        raise AssertionError("graph invariant violations: " + "; ".join(errors))
+    return stats

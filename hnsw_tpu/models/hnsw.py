@@ -1,0 +1,156 @@
+"""``HnswIndex`` — the faiss ``IndexHNSWFlat``-parity user API (SURVEY.md C10).
+
+Surface parity with faiss:
+  * ``HnswIndex(d, M, metric)`` construct; train-free (``is_trained`` True)
+  * ``add(x)`` / ``search(x, k)`` / ``ntotal`` / ``reconstruct(i)``
+  * mutable ``ef_search`` / ``ef_construction`` attributes (faiss
+    ``index.hnsw.efSearch`` / ``efConstruction``)
+  * ``save(path)`` / ``HnswIndex.load(path)`` (faiss write_index/read_index)
+
+TPU-native semantics: vectors + graph live as device arrays; ``search`` runs
+the jitted batched pipeline of ``hnsw_tpu.search``; construction runs either
+on-device (batched level-parallel inserts, ``build="device"``, default) or via
+the serial NumPy reference builder (``build="host"``, the faiss-faithful
+oracle path).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import IP, L2, HnswConfig
+from ..graph import GraphArrays, check_invariants, empty_graph, load_graph, save_graph
+from ..reference_impl import NumpyHnsw
+from ..search import compute_sqnorms, hnsw_search
+
+
+class HnswIndex:
+    def __init__(self, dim: int | None = None, m: int = 32, metric: str = L2,
+                 *, config: HnswConfig | None = None, capacity: int | None = None,
+                 build: str = "device", **kw):
+        if config is None:
+            if dim is None:
+                raise ValueError("dim or config required")
+            config = HnswConfig(dim=dim, m=m, metric=metric,
+                                capacity=capacity or 1_000_000, **kw)
+        self.config = config
+        self.ef_search = config.ef_search
+        self.ef_construction = config.ef_construction
+        if build not in ("device", "host"):
+            raise ValueError(f"build must be 'device' or 'host', got {build!r}")
+        self.build_mode = build
+        self.is_trained = True  # HNSWFlat is train-free (faiss parity)
+        self.n_expand = 1
+
+        self._graph: GraphArrays = empty_graph(config)
+        self._vectors = jnp.zeros((config.capacity, config.dim),
+                                  dtype=jnp.dtype(config.dtype))
+        self._sqnorms = jnp.zeros((config.capacity,), jnp.float32)
+        self._host: NumpyHnsw | None = None
+        self._builder = None  # lazily constructed device builder
+
+    # -- properties ----------------------------------------------------------
+    @property
+    def ntotal(self) -> int:
+        return int(self._graph.ntotal)
+
+    @property
+    def d(self) -> int:  # faiss naming
+        return self.config.dim
+
+    @property
+    def graph(self) -> GraphArrays:
+        return self._graph
+
+    @property
+    def vectors(self) -> jax.Array:
+        return self._vectors
+
+    # -- construction ---------------------------------------------------------
+    def add(self, x: np.ndarray) -> None:
+        """Append vectors; ids are assigned sequentially (faiss parity)."""
+        x = np.ascontiguousarray(np.asarray(x, np.float32))
+        if x.ndim != 2 or x.shape[1] != self.config.dim:
+            raise ValueError(f"expected [n, {self.config.dim}], got {x.shape}")
+        if self.ntotal + len(x) > self.config.capacity:
+            raise ValueError("capacity exceeded; create the index with a "
+                             "larger `capacity` (device arrays are "
+                             "preallocated, SURVEY.md §7 hard-part 5)")
+        if self.build_mode == "host":
+            self._add_host(x)
+        else:
+            self._add_device(x)
+
+    def _add_host(self, x: np.ndarray) -> None:
+        if self._host is None:
+            cfg = self.config.replace(ef_construction=self.ef_construction)
+            self._host = NumpyHnsw(cfg)
+        self._host.cfg = self._host.cfg.replace(
+            ef_construction=self.ef_construction)
+        self._host.add(x)
+        self._sync_from_host()
+
+    def _sync_from_host(self) -> None:
+        h = self._host
+        self._graph = h.to_graph_arrays()
+        self._vectors = jnp.asarray(h.vectors, dtype=jnp.dtype(self.config.dtype))
+        self._sqnorms = compute_sqnorms(self._vectors)
+
+    def _add_device(self, x: np.ndarray) -> None:
+        from ..build import DeviceBuilder  # local import: build pulls in more
+        if self._builder is None:
+            self._builder = DeviceBuilder(self.config)
+        self._graph, self._vectors, self._sqnorms = self._builder.add(
+            self._graph, self._vectors, self._sqnorms, x,
+            ef_construction=self.ef_construction)
+
+    # -- query ----------------------------------------------------------------
+    def search(self, x: np.ndarray, k: int, *, ef_search: int | None = None,
+               with_stats: bool = False):
+        """Batched k-NN. Returns (D [n, k] float32, I [n, k] int64) like
+        faiss; I == -1 where fewer than k reachable."""
+        if self.ntotal == 0:
+            n = len(x)
+            return (np.full((n, k), np.inf, np.float32),
+                    np.full((n, k), -1, np.int64))
+        x = jnp.asarray(np.asarray(x, np.float32))
+        ef = int(ef_search or self.ef_search)
+        out = hnsw_search(
+            self._graph, self._vectors, self._sqnorms, x,
+            k=k, ef_search=ef, metric=self.config.metric,
+            max_level_cap=self.config.max_level_cap,
+            n_expand=self.n_expand, with_stats=with_stats)
+        if with_stats:
+            d, i, stats = out
+            return np.asarray(d), np.asarray(i, np.int64), stats
+        d, i = out
+        return np.asarray(d), np.asarray(i, np.int64)
+
+    def reconstruct(self, i: int) -> np.ndarray:
+        if not 0 <= i < self.ntotal:
+            raise IndexError(i)
+        return np.asarray(self._vectors[i], np.float32)
+
+    def reconstruct_n(self, i0: int, n: int) -> np.ndarray:
+        return np.asarray(self._vectors[i0:i0 + n], np.float32)
+
+    # -- maintenance ------------------------------------------------------------
+    def check(self, strict: bool = True) -> dict:
+        """Structural invariant check (debug; SURVEY.md §5 race-detection
+        analogue)."""
+        return check_invariants(self._graph, self.config, strict=strict)
+
+    # -- persistence (faiss write_index/read_index parity, C12) ---------------
+    def save(self, path: str) -> None:
+        save_graph(path, self._graph, self._vectors, self.config)
+
+    @classmethod
+    def load(cls, path: str) -> "HnswIndex":
+        graph, vectors, cfg = load_graph(path)
+        idx = cls(config=cfg)
+        idx._graph = graph
+        idx._vectors = vectors
+        idx._sqnorms = compute_sqnorms(vectors)
+        return idx

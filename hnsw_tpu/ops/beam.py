@@ -1,0 +1,162 @@
+"""Fixed-width batched best-first beam search — the TPU replacement for
+faiss's ``search_from_candidates`` + ``MinimaxHeap`` (SURVEY.md §2b C5).
+
+Design (BASELINE.json:5): all dynamic structures become masked fixed-width
+arrays so XLA compiles ONE executable:
+
+  * candidate/result priority queues  -> one sorted (ascending) top-ef buffer
+    per query with an "expanded" flag per slot. The nearest unexpanded entry
+    is always in the buffer (anything farther than the worst buffer entry is
+    dropped, which is exactly faiss's check_relative_distance pruning), so
+    best-first order and termination semantics are preserved.
+  * VisitedTable -> per-query visited *bitmap* (uint32 words, [Q, ceil(cap/32)]);
+    membership test = gather + bit test; insertion = scatter-add of distinct
+    bits (distinct ids => distinct (word,bit) pairs => add == bitwise-or).
+  * per-query termination -> convergence mask inside one lax.while_loop; the
+    batch loops until every query converged (or the hop cap).
+
+Queries are data-parallel along axis 0 throughout — the TPU analogue of
+faiss's OpenMP query loop (C13).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+INF = jnp.inf
+
+
+class BeamState(NamedTuple):
+    buf_ids: jax.Array   # int32 [Q, ef]  (sorted ascending by buf_dist; -1 empty)
+    buf_dist: jax.Array  # f32   [Q, ef]  (+inf for empty slots)
+    buf_exp: jax.Array   # bool  [Q, ef]  (True == expanded OR empty)
+    visited: jax.Array   # uint32 [Q, W]
+    hops: jax.Array      # int32 []       total loop iterations
+    ndis: jax.Array      # int32 [Q]      distances computed (faiss hnsw_stats)
+
+
+def init_visited(q: int, capacity: int) -> jax.Array:
+    return jnp.zeros((q, (capacity + 31) // 32), jnp.uint32)
+
+
+def mark_visited(visited: jax.Array, ids: jax.Array,
+                 mask: jax.Array) -> jax.Array:
+    """Set bits for ids [Q, K] where mask; ids must be unique within a row."""
+    ids_safe = jnp.where(mask, ids, 0)
+    word = ids_safe >> 5
+    bit = (ids_safe & 31).astype(jnp.uint32)
+    add = jnp.where(mask, jnp.uint32(1) << bit, jnp.uint32(0))
+    qidx = jax.lax.broadcasted_iota(jnp.int32, ids.shape, 0)
+    return visited.at[qidx, word].add(add, mode="drop")
+
+
+def test_visited(visited: jax.Array, ids: jax.Array,
+                 mask: jax.Array) -> jax.Array:
+    """Returns bool [Q, K]: True where id already visited (or masked off)."""
+    ids_safe = jnp.where(mask, ids, 0)
+    word = ids_safe >> 5
+    bit = (ids_safe & 31).astype(jnp.uint32)
+    w = jnp.take_along_axis(visited, word, axis=1)
+    seen = ((w >> bit) & 1).astype(jnp.bool_)
+    return jnp.where(mask, seen, True)
+
+
+def init_beam(entry_ids: jax.Array, entry_dists: jax.Array, ef: int,
+              capacity: int) -> BeamState:
+    """Seed the beam with one entry point per query (already visited)."""
+    qn = entry_ids.shape[0]
+    buf_ids = jnp.full((qn, ef), -1, jnp.int32).at[:, 0].set(entry_ids)
+    buf_dist = jnp.full((qn, ef), INF, jnp.float32).at[:, 0].set(entry_dists)
+    buf_exp = jnp.ones((qn, ef), jnp.bool_).at[:, 0].set(False)
+    visited = init_visited(qn, capacity)
+    visited = mark_visited(visited, entry_ids[:, None],
+                           jnp.ones((qn, 1), jnp.bool_))
+    return BeamState(buf_ids, buf_dist, buf_exp, visited,
+                     jnp.asarray(0, jnp.int32), jnp.zeros((qn,), jnp.int32))
+
+
+def beam_search(
+    state: BeamState,
+    gather_neighbors: Callable[[jax.Array], jax.Array],
+    distance_to: Callable[[jax.Array, jax.Array], jax.Array],
+    max_hops: int,
+    n_expand: int = 1,
+) -> BeamState:
+    """Run best-first expansion until every query's buffer is fully expanded.
+
+    gather_neighbors: ids [Q] (or [Q, T]) -> neighbor ids [Q, K] int32,
+        -1-padded; MUST be duplicate-free per source node (graph invariant).
+    distance_to: (ids [Q, K], valid mask) -> dists [Q, K] (smaller = closer).
+    n_expand: candidates expanded per hop per query (T). 1 == faiss-exact
+        best-first order; >1 trades extra distance computations for fewer,
+        fatter hops (better MXU/HBM utilization, same or better recall).
+    """
+    ef = state.buf_ids.shape[1]
+
+    def cond(s: BeamState):
+        return (s.hops < max_hops) & jnp.any(~s.buf_exp)
+
+    def body(s: BeamState):
+        # -- select the T nearest unexpanded buffer entries per query
+        key = jnp.where(s.buf_exp, INF, s.buf_dist)
+        if n_expand == 1:
+            j = jnp.argmin(key, axis=1)[:, None]                    # [Q, 1]
+            sel_dist = jnp.take_along_axis(key, j, axis=1)
+        else:
+            neg, j = jax.lax.top_k(-key, n_expand)                  # [Q, T]
+            sel_dist = -neg
+        step_ok = sel_dist < INF                                     # [Q, T]
+        cur = jnp.take_along_axis(s.buf_ids, j, axis=1)              # [Q, T]
+        cur_safe = jnp.where(step_ok, cur, 0)
+
+        # -- mark them expanded (one-hot scatter keeps this a pure vector op)
+        slot = jax.lax.broadcasted_iota(jnp.int32, (1, ef, 1), 1)
+        hit = jnp.any((slot == j[:, None, :]) & step_ok[:, None, :], axis=2)
+        buf_exp = s.buf_exp | hit
+
+        # -- expand: gather adjacency rows, flatten T into the key axis
+        nbrs = gather_neighbors(cur_safe)                            # [Q, T, K]
+        qn = nbrs.shape[0]
+        nbrs = nbrs.reshape(qn, -1)                                  # [Q, T*K]
+        valid = (nbrs >= 0) & jnp.repeat(step_ok, nbrs.shape[1] // n_expand,
+                                         axis=1)
+        # visited test + insert-time marking (prevents duplicates in buffer)
+        fresh = valid & ~test_visited(s.visited, nbrs, valid)
+        # with n_expand > 1 the same id can appear under two parents in one
+        # hop; keep only the first occurrence so the bitmap add stays an OR.
+        if n_expand > 1:
+            nbrs_safe0 = jnp.where(fresh, nbrs, -1)
+            first = _first_occurrence_mask(nbrs_safe0)
+            fresh = fresh & first
+        visited = mark_visited(s.visited, nbrs, fresh)
+
+        dist = distance_to(nbrs, fresh)
+        dist = jnp.where(fresh, dist, INF)
+        ndis = s.ndis + jnp.sum(fresh, axis=1, dtype=jnp.int32)
+
+        # -- merge into the sorted top-ef buffer
+        all_d = jnp.concatenate([s.buf_dist, dist], axis=1)
+        all_i = jnp.concatenate([s.buf_ids, jnp.where(fresh, nbrs, -1)], axis=1)
+        all_e = jnp.concatenate([buf_exp, ~fresh], axis=1)
+        neg_top, pos = jax.lax.top_k(-all_d, ef)
+        buf_dist = -neg_top
+        buf_ids = jnp.take_along_axis(all_i, pos, axis=1)
+        buf_exp2 = jnp.take_along_axis(all_e, pos, axis=1)
+
+        return BeamState(buf_ids, buf_dist, buf_exp2, visited,
+                         s.hops + 1, ndis)
+
+    return jax.lax.while_loop(cond, body, state)
+
+
+def _first_occurrence_mask(ids: jax.Array) -> jax.Array:
+    """bool [Q, K]: True at the first occurrence of each non-negative id in
+    its row. O(K^2) pairwise compare — K is small (n_expand * m0)."""
+    eq = ids[:, :, None] == ids[:, None, :]
+    kidx = jax.lax.broadcasted_iota(jnp.int32, eq.shape, 2)
+    jidx = jax.lax.broadcasted_iota(jnp.int32, eq.shape, 1)
+    earlier = jnp.any(eq & (kidx < jidx), axis=2)
+    return (ids >= 0) & ~earlier

@@ -1,0 +1,160 @@
+"""Batched HNSW query pipeline (SURVEY.md §3.1, the hot path).
+
+Reproduces the faiss call stack ``IndexHNSW::search -> greedy_update_nearest
+(levels L..1) -> search_from_candidates (level 0) -> top-k`` as ONE jitted XLA
+program per query batch: exactly two host/device boundaries (queries in,
+(D, I) out). Queries are batched along axis 0; per-query data-dependent
+termination becomes convergence masks inside lax.while_loop.
+
+Distances use the rank-equivalent L2 surrogate ||x||^2 - 2 q·x everywhere in
+the loop (saves recomputing the constant ||q||^2 per hop); true squared-L2 is
+restored on the final top-k only.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .config import IP, L2, HnswConfig
+from .graph import GraphArrays
+from .ops import beam as beam_ops
+
+
+class SearchStats(NamedTuple):
+    hops: jax.Array  # int32 []  level-0 loop iterations for the batch
+    ndis: jax.Array  # int32 [Q] distance computations per query (hnsw_stats.ndis)
+
+
+def _make_distance_fn(vectors: jax.Array, sqnorms: jax.Array, queries: jax.Array,
+                      metric: str):
+    """Returns distance_to(ids [Q, K], mask) -> [Q, K] surrogate distances.
+
+    The gather + dot is the bandwidth-critical op (SURVEY.md §7 hard-part 3):
+    neighbor vectors are gathered from HBM and hit the MXU as a [Q, K, d] x
+    [Q, d] batched contraction.
+    """
+    qf = queries.astype(jnp.float32)
+
+    def distance_to(ids: jax.Array, mask: jax.Array) -> jax.Array:
+        ids_safe = jnp.where(mask, ids, 0)
+        vecs = vectors[ids_safe].astype(jnp.float32)          # [Q, K, d]
+        dots = jnp.einsum("qd,qkd->qk", qf, vecs,
+                          preferred_element_type=jnp.float32)
+        if metric == IP:
+            return -dots
+        return sqnorms[ids_safe] - 2.0 * dots
+
+    return distance_to
+
+
+def greedy_descend(graph: GraphArrays, distance_to, entry: jax.Array,
+                   entry_dist: jax.Array, to_level: jax.Array,
+                   max_level_cap: int):
+    """Batched faiss ``greedy_update_nearest``: ef=1 walk per level from the
+    graph's max level down to (exclusive) per-query ``to_level``.
+
+    entry/entry_dist: [Q]; to_level: [Q] int32. Returns (node [Q], dist [Q]).
+    Level loop is a static python loop over the level cap (XLA-friendly);
+    each level runs a batched do-while until no query improves.
+    """
+    cur, curd = entry, entry_dist
+
+    for level in range(max_level_cap, 0, -1):
+        lvl_idx = level - 1
+        active0 = (level <= graph.max_level)
+
+        def gather_upper(ids):  # [Q] -> [Q, m]
+            slot = jnp.maximum(graph.upper_slot[ids], 0)
+            return graph.upper_neighbors[slot, lvl_idx]
+
+        def body(state):
+            c, d, _ = state
+            act = active0 & (jnp.asarray(level, jnp.int32) > to_level)  # [Q]
+            nbrs = gather_upper(c)                              # [Q, m]
+            valid = (nbrs >= 0) & act[:, None]
+            dn = distance_to(nbrs, valid)
+            dn = jnp.where(valid, dn, jnp.inf)
+            mini = jnp.argmin(dn, axis=1)
+            mind = jnp.take_along_axis(dn, mini[:, None], axis=1)[:, 0]
+            better = mind < d
+            c2 = jnp.where(better, jnp.take_along_axis(
+                nbrs, mini[:, None], axis=1)[:, 0], c)
+            d2 = jnp.where(better, mind, d)
+            return c2, d2, better
+
+        def cond(state):
+            return jnp.any(state[2])
+
+        init = (cur, curd, jnp.ones_like(cur, jnp.bool_))
+        cur, curd, _ = jax.lax.while_loop(cond, body, init)
+
+    return cur, curd
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "ef_search", "metric", "max_level_cap", "max_hops",
+                     "n_expand", "with_stats"),
+)
+def hnsw_search(
+    graph: GraphArrays,
+    vectors: jax.Array,
+    sqnorms: jax.Array,
+    queries: jax.Array,
+    *,
+    k: int,
+    ef_search: int,
+    metric: str = L2,
+    max_level_cap: int = 6,
+    max_hops: int = 0,
+    n_expand: int = 1,
+    with_stats: bool = False,
+):
+    """Batched k-NN query. Returns (dists [Q, k], ids [Q, k]) sorted
+    ascending; ids are -1 (dist inf) past the reachable set. With
+    ``with_stats`` also returns SearchStats (faiss hnsw_stats parity)."""
+    ef = max(ef_search, k)
+    if max_hops <= 0:
+        # every hop expands >=1 buffer entry; entries only leave the buffer by
+        # being displaced, so 4*ef + 16 comfortably over-covers convergence
+        # (validated against unbounded runs in tests).
+        max_hops = 4 * ef + 16
+    qn = queries.shape[0]
+    capacity = vectors.shape[0]
+    queries = queries.astype(jnp.float32)
+
+    distance_to = _make_distance_fn(vectors, sqnorms, queries, metric)
+
+    # --- greedy upper-level descent from the global entry point
+    ep = jnp.broadcast_to(graph.entry_point, (qn,))
+    ep_dist = distance_to(ep[:, None], jnp.ones((qn, 1), jnp.bool_))[:, 0]
+    ep0, ep0_dist = greedy_descend(
+        graph, distance_to, ep, ep_dist,
+        jnp.zeros((qn,), jnp.int32), max_level_cap)
+
+    # --- level-0 beam search
+    state = beam_ops.init_beam(ep0, ep0_dist, ef, capacity)
+
+    def gather_l0(ids):  # [Q, T] -> [Q, T, m0]
+        return graph.neighbors0[ids]
+
+    state = beam_ops.beam_search(state, gather_l0, distance_to,
+                                 max_hops=max_hops, n_expand=n_expand)
+
+    # --- top-k extraction (buffer is already sorted ascending)
+    out_d = state.buf_dist[:, :k]
+    out_i = state.buf_ids[:, :k]
+    if metric == L2:  # restore true squared L2 (surrogate dropped ||q||^2)
+        qn2 = jnp.sum(queries * queries, axis=1, keepdims=True)
+        out_d = jnp.where(out_i >= 0, out_d + qn2, jnp.inf)
+    if with_stats:
+        return out_d, out_i, SearchStats(state.hops, state.ndis)
+    return out_d, out_i
+
+
+def compute_sqnorms(vectors: jax.Array) -> jax.Array:
+    return jnp.sum(vectors.astype(jnp.float32) ** 2, axis=-1)

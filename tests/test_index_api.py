@@ -1,0 +1,70 @@
+import numpy as np
+import pytest
+
+from hnsw_tpu import FlatIndex, HnswIndex
+from hnsw_tpu.utils.recall import recall_at_k
+
+from conftest import exact_knn
+
+
+def test_faiss_parity_surface(small_workload):
+    wl = small_workload
+    idx = HnswIndex(32, 8, "l2", capacity=2048, build="host",
+                    ef_construction=80, seed=3)
+    assert idx.is_trained  # train-free
+    assert idx.d == 32
+    assert idx.ntotal == 0
+    idx.add(wl.base[:500])
+    idx.add(wl.base[500:1000])  # incremental add
+    assert idx.ntotal == 1000
+
+    idx.ef_search = 64  # mutable knob, faiss index.hnsw.efSearch
+    d, i = idx.search(wl.queries, k=10)
+    assert d.shape == (len(wl.queries), 10) and i.dtype == np.int64
+    _, ti = exact_knn(wl.base[:1000], wl.queries, 10, "l2")
+    assert recall_at_k(i, ti, 10) >= 0.93
+
+    # reconstruct parity
+    np.testing.assert_allclose(idx.reconstruct(3), wl.base[3], rtol=1e-6)
+    np.testing.assert_allclose(idx.reconstruct_n(10, 5), wl.base[10:15],
+                               rtol=1e-6)
+    assert idx.check()["errors"] == []
+
+
+def test_capacity_guard():
+    idx = HnswIndex(4, 4, capacity=10, build="host")
+    with pytest.raises(ValueError, match="capacity"):
+        idx.add(np.zeros((11, 4), np.float32))
+
+
+def test_empty_index_search():
+    idx = HnswIndex(4, 4, capacity=10, build="host")
+    d, i = idx.search(np.zeros((3, 4), np.float32), k=2)
+    assert (i == -1).all() and np.isinf(d).all()
+
+
+def test_dim_guard():
+    idx = HnswIndex(4, 4, capacity=10, build="host")
+    with pytest.raises(ValueError, match="expected"):
+        idx.add(np.zeros((2, 5), np.float32))
+
+
+def test_flat_index(small_workload):
+    wl = small_workload
+    flat = FlatIndex(32)
+    flat.add(wl.base[:300])
+    flat.add(wl.base[300:600])
+    assert flat.ntotal == 600
+    d, i = flat.search(wl.queries[:20], k=5)
+    _, ti = exact_knn(wl.base[:600], wl.queries[:20], 5, "l2")
+    assert (i == ti).mean() > 0.99
+
+
+def test_bf16_storage(small_workload):
+    wl = small_workload
+    idx = HnswIndex(32, 8, capacity=2048, build="host", dtype="bfloat16",
+                    ef_construction=80)
+    idx.add(wl.base[:800])
+    _, i = idx.search(wl.queries, k=10, ef_search=64)
+    _, ti = exact_knn(wl.base[:800], wl.queries, 10, "l2")
+    assert recall_at_k(i, ti, 10) >= 0.85  # bf16 storage costs a little recall
