@@ -1,0 +1,302 @@
+"""On-device batched HNSW construction (SURVEY.md §2b C7/C8, §3.2).
+
+faiss builds serially: per point, greedy-descend, beam-search each level with
+efConstruction, heuristic-prune to M, write links + locked back-links
+(``hnsw_add_vertices`` / ``add_with_locks``). The TPU realization batches B
+inserts into ONE jitted program per batch:
+
+  1. storage writes (vectors, levels, upper-slot maps) — scatters
+  2. batched greedy descent to each point's level      (shared with query)
+  3. per level (static loop, masked): batched beam search with
+     efConstruction -> vectorized select-neighbors prune -> forward-link
+     scatter -> deterministic back-link repair pass (ops/repair.py)
+  4. level 0 additionally merges brute-force intra-batch candidates (one
+     [B, B] MXU matmul), since batch members are invisible to each other in
+     the not-yet-updated graph — this recovers the links a serial build would
+     have formed between them.
+
+Race freedom is by construction (SURVEY.md §5): forward writes touch one
+fresh row per new node; back-link writes are grouped per destination with a
+single writer each. Everything is deterministic given the seed, a capability
+the OpenMP reference lacks.
+
+The host loop only draws levels (seeded), schedules batch sizes (graph-size
+bounded growth so early inserts see a sufficiently dense graph), and updates
+the entry-point scalars between batches.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .config import IP, L2, HnswConfig
+from .graph import GraphArrays
+from .ops import beam as beam_ops
+from .ops.prune import select_neighbors
+from .ops.repair import apply_backlinks
+from .search import _make_distance_fn, greedy_descend
+
+
+def _insert_batch(
+    graph: GraphArrays,
+    vectors: jax.Array,
+    sqnorms: jax.Array,
+    xb: jax.Array,      # f32 [B, d] new vectors (pad rows arbitrary)
+    ids: jax.Array,     # int32 [B]; pad == capacity (scatters drop)
+    levels: jax.Array,  # int32 [B]; -1 == pad
+    slots: jax.Array,   # int32 [B]; upper slot for level>=1 nodes, else -1
+    *,
+    cfg: HnswConfig,
+    ef_construction: int,
+    intra_k: int,
+    r_window: int,
+):
+    B = xb.shape[0]
+    capacity = cfg.capacity
+    metric = cfg.metric
+    efc = ef_construction
+    valid_p = levels >= 0
+    ids_safe = jnp.minimum(ids, capacity - 1)
+
+    # ---- 1. storage + level-table writes (adjacency still untouched, so the
+    # beams below see exactly the pre-batch graph)
+    xf = xb.astype(jnp.float32)
+    vectors = vectors.at[ids].set(xb.astype(vectors.dtype), mode="drop")
+    sqnorms = sqnorms.at[ids].set(jnp.sum(xf * xf, axis=1), mode="drop")
+    new_levels = graph.levels.at[ids].set(levels, mode="drop")
+    new_uslot = graph.upper_slot.at[ids].set(slots, mode="drop")
+    slot_idx = jnp.where(slots >= 0, slots, graph.upper_node.shape[0])
+    new_unode = graph.upper_node.at[slot_idx].set(
+        jnp.where(slots >= 0, ids, -1), mode="drop")
+    graph = graph._replace(levels=new_levels, upper_slot=new_uslot,
+                           upper_node=new_unode)
+
+    distance_to = _make_distance_fn(vectors, sqnorms, xf, metric)
+    qsq = jnp.sum(xf * xf, axis=1, keepdims=True)  # for surrogate -> true L2
+
+    def to_true(d):
+        return d + qsq if metric == L2 else d
+
+    # ---- 2. greedy descent to each point's level
+    ep = jnp.broadcast_to(graph.entry_point, (B,))
+    ep_d = distance_to(ep[:, None], jnp.ones((B, 1), jnp.bool_))[:, 0]
+    to_level = jnp.where(valid_p,
+                         jnp.clip(levels, 0, jnp.maximum(graph.max_level, 0)),
+                         cfg.max_level_cap)
+    e, e_d = greedy_descend(graph, distance_to, ep, ep_d, to_level,
+                            cfg.max_level_cap)
+
+    max_hops = 4 * efc + 16
+    upper_adj = graph.upper_neighbors
+    neighbors0 = graph.neighbors0
+
+    # ---- 3. upper levels, top down (static loop; beams exit in one
+    # iteration for levels where no batch point is active)
+    for level in range(cfg.max_level_cap, 0, -1):
+        lvl_idx = level - 1
+        active = valid_p & (level <= levels) & (level <= graph.max_level)
+
+        def gather_upper(node_ids, _adj=upper_adj, _l=lvl_idx):
+            slot = jnp.maximum(graph.upper_slot[node_ids], 0)
+            return _adj[slot, _l]
+
+        state = beam_ops.init_beam(e, e_d, efc, capacity, active=active)
+        state = beam_ops.beam_search(state, gather_upper, distance_to,
+                                     max_hops=max_hops)
+        cand_ids = jnp.where(active[:, None], state.buf_ids, -1)
+        cand_true = to_true(state.buf_dist)
+        cand_vecs = vectors[jnp.maximum(cand_ids, 0)].astype(jnp.float32)
+        kept, _ = select_neighbors(cand_ids, cand_true, cand_vecs,
+                                   m=cfg.m, metric=metric)
+
+        # forward links: one fresh row per new node at this level
+        row = jnp.where(active & (slots >= 0), slots, upper_adj.shape[0])
+        upper_lvl = upper_adj[:, lvl_idx, :].at[row].set(kept, mode="drop")
+
+        # back-links (dst row == dst's upper slot at this level)
+        dst = kept.reshape(-1)
+        src = jnp.broadcast_to(ids_safe[:, None], kept.shape).reshape(-1)
+        pair_ok = (dst >= 0) & jnp.broadcast_to(active[:, None],
+                                                kept.shape).reshape(-1)
+        dst_rows = jnp.where(pair_ok, new_uslot[jnp.maximum(dst, 0)], -1)
+        upper_lvl = apply_backlinks(
+            upper_lvl, jnp.maximum(dst_rows, 0), dst, src,
+            pair_ok & (dst_rows >= 0), vectors,
+            r_window=r_window, metric=metric)
+        upper_adj = upper_adj.at[:, lvl_idx, :].set(upper_lvl)
+
+        # entries for the next level: nearest candidate found here
+        e = jnp.where(active, state.buf_ids[:, 0], e)
+        e_d = jnp.where(active, state.buf_dist[:, 0], e_d)
+
+    # ---- 4. level 0
+    state = beam_ops.init_beam(e, e_d, efc, capacity, active=valid_p)
+
+    def gather_l0(node_ids):
+        return neighbors0[node_ids]
+
+    state = beam_ops.beam_search(state, gather_l0, distance_to,
+                                 max_hops=max_hops)
+
+    # intra-batch candidates: batch members can't be found via the old graph
+    T = min(intra_k, B)
+    bsq = jnp.sum(xf * xf, axis=1)
+    dots = jnp.dot(xf, xf.T, preferred_element_type=jnp.float32)
+    intra = -dots if metric == IP else bsq[None, :] - 2.0 * dots
+    eye = jnp.eye(B, dtype=jnp.bool_)
+    ok = (~eye) & valid_p[None, :] & valid_p[:, None]
+    intra = jnp.where(ok, intra, jnp.inf)
+    neg, pos = jax.lax.top_k(-intra, T)
+    intra_ids = jnp.where(neg > -jnp.inf, ids_safe[pos], -1)
+    intra_d = -neg
+
+    cand_ids = jnp.concatenate(
+        [jnp.where(valid_p[:, None], state.buf_ids, -1), intra_ids], axis=1)
+    cand_true = jnp.concatenate(
+        [to_true(state.buf_dist), to_true(intra_d)], axis=1)
+    cand_vecs = vectors[jnp.maximum(cand_ids, 0)].astype(jnp.float32)
+    kept0, _ = select_neighbors(cand_ids, cand_true, cand_vecs,
+                                m=cfg.m0, metric=metric)
+
+    neighbors0 = neighbors0.at[ids].set(kept0, mode="drop")
+    dst = kept0.reshape(-1)
+    src = jnp.broadcast_to(ids_safe[:, None], kept0.shape).reshape(-1)
+    pair_ok = (dst >= 0) & jnp.broadcast_to(valid_p[:, None],
+                                            kept0.shape).reshape(-1)
+    neighbors0 = apply_backlinks(
+        neighbors0, jnp.maximum(dst, 0), dst, src, pair_ok, vectors,
+        r_window=r_window, metric=metric)
+
+    graph = graph._replace(neighbors0=neighbors0, upper_neighbors=upper_adj)
+    return graph, vectors, sqnorms
+
+
+class DeviceBuilder:
+    """Host orchestration for batched on-device construction.
+
+    Owns the level RNG (seeded => deterministic builds, SURVEY.md §4 item 6)
+    and the batch-growth schedule. ``min_batch``/``max_batch`` bound the
+    padded batch shapes so only a handful of XLA programs are compiled.
+    """
+
+    BATCH_SIZES = (32, 128, 512, 1024)
+
+    def __init__(self, cfg: HnswConfig, *, max_batch: int = 1024,
+                 intra_k: int = 32, r_window: int = 16):
+        self.cfg = cfg
+        self.rng = np.random.default_rng(cfg.seed)
+        self.max_batch = max_batch
+        self.intra_k = intra_k
+        self.r_window = r_window
+        self._steps: dict = {}
+
+    def _draw_levels(self, n: int) -> np.ndarray:
+        u = self.rng.random(n)
+        lv = np.floor(-np.log(np.maximum(u, 1e-12)) *
+                      self.cfg.level_mult).astype(np.int32)
+        return np.minimum(lv, self.cfg.max_level_cap)
+
+    def _get_step(self, ef_construction: int):
+        key = ef_construction
+        if key not in self._steps:
+            self._steps[key] = jax.jit(
+                functools.partial(_insert_batch, cfg=self.cfg,
+                                  ef_construction=ef_construction,
+                                  intra_k=self.intra_k,
+                                  r_window=self.r_window),
+                donate_argnums=(0, 1, 2),
+            )
+        return self._steps[key]
+
+    def _seed_first(self, graph: GraphArrays, vectors, sqnorms,
+                    x0: np.ndarray, level: int):
+        """Insert the very first point host-side (no search needed)."""
+        i32 = jnp.int32
+        vectors = vectors.at[0].set(jnp.asarray(x0, vectors.dtype))
+        sqnorms = sqnorms.at[0].set(float((x0.astype(np.float64) ** 2).sum()))
+        graph = graph._replace(
+            levels=graph.levels.at[0].set(level),
+            entry_point=jnp.asarray(0, i32),
+            max_level=jnp.asarray(level, i32),
+            ntotal=jnp.asarray(1, i32),
+        )
+        if level >= 1:
+            graph = graph._replace(
+                upper_slot=graph.upper_slot.at[0].set(0),
+                upper_node=graph.upper_node.at[0].set(0),
+                n_upper=jnp.asarray(1, i32),
+            )
+        return graph, vectors, sqnorms
+
+    def add(self, graph: GraphArrays, vectors, sqnorms, x: np.ndarray,
+            *, ef_construction: int | None = None):
+        cfg = self.cfg
+        efc = int(ef_construction or cfg.ef_construction)
+        x = np.ascontiguousarray(np.asarray(x, np.float32))
+        n0 = int(graph.ntotal)
+        n_upper = int(graph.n_upper)
+        max_level = int(graph.max_level)
+        entry = int(graph.entry_point)
+
+        all_levels = self._draw_levels(len(x))
+        i = 0
+        if n0 == 0 and len(x):
+            graph, vectors, sqnorms = self._seed_first(
+                graph, vectors, sqnorms, x[0], int(all_levels[0]))
+            n0 = 1
+            max_level = int(all_levels[0])
+            entry = 0
+            if all_levels[0] >= 1:
+                n_upper = 1
+            i = 1
+
+        step = self._get_step(efc)
+        while i < len(x):
+            # graph-size-bounded growth: batch never exceeds the current
+            # graph size class (early inserts need a dense-enough graph)
+            allowed = max(self.BATCH_SIZES[0], n0)
+            size = max(s for s in self.BATCH_SIZES
+                       if s <= max(allowed, self.BATCH_SIZES[0])
+                       and s <= self.max_batch)
+            take = min(len(x) - i, size)
+            xb = np.zeros((size, x.shape[1]), np.float32)
+            xb[:take] = x[i:i + take]
+            ids = np.full((size,), cfg.capacity, np.int32)
+            ids[:take] = np.arange(n0, n0 + take, dtype=np.int32)
+            levels = np.full((size,), -1, np.int32)
+            levels[:take] = all_levels[i:i + take]
+            slots = np.full((size,), -1, np.int32)
+            ups = np.flatnonzero(levels >= 1)
+            if n_upper + len(ups) > cfg.upper_capacity:
+                raise ValueError("upper_capacity exceeded; raise it in "
+                                 "HnswConfig")
+            slots[ups] = np.arange(n_upper, n_upper + len(ups),
+                                   dtype=np.int32)
+
+            graph, vectors, sqnorms = step(
+                graph, vectors, sqnorms, jnp.asarray(xb), jnp.asarray(ids),
+                jnp.asarray(levels), jnp.asarray(slots))
+
+            n_upper += len(ups)
+            batch_max = int(levels[:take].max()) if take else -1
+            if batch_max > max_level:
+                winner = int(np.argmax(levels[:take]))
+                entry = int(ids[winner])
+                max_level = batch_max
+            n0 += take
+            i += take
+            # scalars must be fresh BEFORE the next batch's searches (the
+            # next batch descends from the current entry point)
+            i32 = jnp.int32
+            graph = graph._replace(
+                entry_point=jnp.asarray(entry, i32),
+                max_level=jnp.asarray(max_level, i32),
+                ntotal=jnp.asarray(n0, i32),
+                n_upper=jnp.asarray(n_upper, i32),
+            )
+        return graph, vectors, sqnorms

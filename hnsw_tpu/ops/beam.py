@@ -65,15 +65,22 @@ def test_visited(visited: jax.Array, ids: jax.Array,
 
 
 def init_beam(entry_ids: jax.Array, entry_dists: jax.Array, ef: int,
-              capacity: int) -> BeamState:
-    """Seed the beam with one entry point per query (already visited)."""
+              capacity: int, active: jax.Array | None = None) -> BeamState:
+    """Seed the beam with one entry point per query (already visited).
+
+    ``active`` (bool [Q], optional): inactive queries start fully expanded,
+    so the while-loop never does work for them (used by the builder to mask
+    batch points not present at a given level)."""
     qn = entry_ids.shape[0]
-    buf_ids = jnp.full((qn, ef), -1, jnp.int32).at[:, 0].set(entry_ids)
-    buf_dist = jnp.full((qn, ef), INF, jnp.float32).at[:, 0].set(entry_dists)
-    buf_exp = jnp.ones((qn, ef), jnp.bool_).at[:, 0].set(False)
+    if active is None:
+        active = jnp.ones((qn,), jnp.bool_)
+    buf_ids = jnp.full((qn, ef), -1, jnp.int32).at[:, 0].set(
+        jnp.where(active, entry_ids, -1))
+    buf_dist = jnp.full((qn, ef), INF, jnp.float32).at[:, 0].set(
+        jnp.where(active, entry_dists, INF))
+    buf_exp = jnp.ones((qn, ef), jnp.bool_).at[:, 0].set(~active)
     visited = init_visited(qn, capacity)
-    visited = mark_visited(visited, entry_ids[:, None],
-                           jnp.ones((qn, 1), jnp.bool_))
+    visited = mark_visited(visited, entry_ids[:, None], active[:, None])
     return BeamState(buf_ids, buf_dist, buf_exp, visited,
                      jnp.asarray(0, jnp.int32), jnp.zeros((qn,), jnp.int32))
 
