@@ -1,0 +1,308 @@
+"""Sharded HNSW over a TPU mesh (SURVEY.md §2b C14, §3.5) — scale past one
+chip's HBM.
+
+No upstream equivalent exists (faiss-HNSW is single-process OpenMP); this is
+first-class here. Design:
+
+  * the dataset is round-robin sharded over mesh axis ``"shard"``; each shard
+    owns an independent sub-index (graph + vectors stacked with a leading
+    shard dim, sharded arrays via NamedSharding)
+  * **build**: one jitted ``shard_map`` step per batch — each device runs the
+    single-chip batched insert program (hnsw_tpu.build) on its local shard;
+    zero cross-device traffic (inserts are shard-local by construction)
+  * **query fan-out**: queries ride mesh axis ``"q"`` (data parallelism);
+    every q-block searches its local sub-index, then one
+    ``all_gather(axis="shard")`` + local top-k merges per-shard results —
+    the single cross-device boundary, riding ICI
+  * user-facing ids are insertion order (faiss parity): a per-shard
+    ``global_ids`` table maps local rows back before the merge
+
+Parallelism-axis map (SURVEY.md §2b): "shard" = dataset sharding, "q" =
+query data-parallelism. TP/PP/EP/etc. have no ANN meaning — documented there.
+
+Multi-host: build the mesh from ``jax.distributed.initialize``'d devices and
+everything below works unchanged (XLA collectives ride ICI/DCN).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import L2, HnswConfig
+from ..graph import GraphArrays, empty_graph
+from ..build import DeviceBuilder, _insert_batch
+from ..search import compute_sqnorms, hnsw_search
+
+SHARD_AXIS = "shard"
+QUERY_AXIS = "q"
+
+
+def make_mesh(n_shards: int | None = None, q_parallel: int = 1,
+              devices=None) -> Mesh:
+    """Default mesh: all devices on the 'shard' axis (optionally folding a
+    'q' axis for query data-parallelism)."""
+    devices = devices if devices is not None else jax.devices()
+    if n_shards is None:
+        n_shards = max(1, len(devices) // q_parallel)
+    dev = np.asarray(devices[: n_shards * q_parallel]).reshape(
+        n_shards, q_parallel)
+    # classic (Auto-mode) Mesh: jax.make_mesh in jax>=0.9 defaults to
+    # Explicit axis types, which would force every op under jax.set_mesh
+    return Mesh(dev, (SHARD_AXIS, QUERY_AXIS))
+
+
+def _local(tree):
+    """Inside shard_map every leading shard dim is 1: drop it."""
+    return jax.tree.map(lambda a: a[0], tree)
+
+
+def _relift(tree):
+    return jax.tree.map(lambda a: a[None], tree)
+
+
+class ShardedHnswIndex:
+    """Dataset-sharded HNSW: per-shard sub-index, fan-out query, global
+    top-k merge. API mirrors HnswIndex (add / search / ntotal)."""
+
+    def __init__(self, dim: int | None = None, m: int = 32, metric: str = L2,
+                 *, mesh: Mesh | None = None, capacity_per_shard: int = 250_000,
+                 config: HnswConfig | None = None, **kw):
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.n_shards = self.mesh.shape[SHARD_AXIS]
+        if config is None:
+            config = HnswConfig(dim=dim, m=m, metric=metric,
+                                capacity=capacity_per_shard, **kw)
+        self.config = config
+        self.ef_search = config.ef_search
+        self.ef_construction = config.ef_construction
+
+        S, cfg = self.n_shards, self.config
+        shard_spec = P(SHARD_AXIS)
+        self._sh = NamedSharding(self.mesh, shard_spec)
+
+        def stacked(a):
+            return jax.device_put(
+                jnp.broadcast_to(a[None], (S,) + a.shape), self._sh)
+
+        g = empty_graph(cfg)
+        self._graph = GraphArrays(*[stacked(x) for x in g])
+        self._vectors = jax.device_put(
+            jnp.zeros((S, cfg.capacity, cfg.dim), jnp.dtype(cfg.dtype)),
+            self._sh)
+        self._sqnorms = jax.device_put(
+            jnp.zeros((S, cfg.capacity), jnp.float32), self._sh)
+        # local row -> user id (insertion order), -1 unused
+        self._global_ids = jax.device_put(
+            jnp.full((S, cfg.capacity), -1, jnp.int32), self._sh)
+
+        # per-shard host-side builder state
+        self._builders = [DeviceBuilder(cfg.replace(seed=cfg.seed + s))
+                          for s in range(S)]
+        self._counts = np.zeros(S, np.int64)
+        self._ntotal = 0
+        self._steps: dict = {}
+        self._searches: dict = {}
+
+    @property
+    def ntotal(self) -> int:
+        return self._ntotal
+
+    # ------------------------------------------------------------------ add
+    def _get_step(self, efc: int):
+        if efc not in self._steps:
+            cfg = self.config
+
+            def sharded_step(graph, vectors, sqnorms, gids, xb, ids, levels,
+                             slots, user_ids):
+                g, v, sq = _insert_batch(
+                    _local(graph), _local(vectors), _local(sqnorms),
+                    xb[0], ids[0], levels[0], slots[0],
+                    cfg=cfg, ef_construction=efc, intra_k=32, r_window=16)
+                gi = gids[0].at[ids[0]].set(user_ids[0], mode="drop")
+                return _relift(g), v[None], sq[None], gi[None]
+
+            spec = P(SHARD_AXIS)
+            self._steps[efc] = jax.jit(
+                jax.shard_map(
+                    sharded_step, mesh=self.mesh,
+                    in_specs=(spec,) * 9, out_specs=(spec,) * 4,
+                    check_vma=False),
+                donate_argnums=(0, 1, 2, 3))
+        return self._steps[efc]
+
+    def add(self, x: np.ndarray) -> None:
+        """Round-robin shard assignment; user ids are insertion order."""
+        cfg = self.config
+        x = np.ascontiguousarray(np.asarray(x, np.float32))
+        if x.ndim != 2 or x.shape[1] != cfg.dim:
+            raise ValueError(f"expected [n, {cfg.dim}], got {x.shape}")
+        S = self.n_shards
+        user_ids = np.arange(self._ntotal, self._ntotal + len(x))
+        shard_of = user_ids % S
+        per_shard = [np.flatnonzero(shard_of == s) for s in range(S)]
+        if max(self._counts[s] + len(per_shard[s]) for s in range(S)) > \
+                cfg.capacity:
+            raise ValueError("capacity_per_shard exceeded")
+
+        # every shard sees the SAME batch schedule (lockstep shard_map steps)
+        offs = np.zeros(S, np.int64)
+        remaining = max(len(p) for p in per_shard)
+        efc = int(self.ef_construction)
+        step = self._get_step(efc)
+        sizes = DeviceBuilder.BATCH_SIZES
+        while remaining > 0:
+            n0_min = max(1, int(self._counts.min()))
+            allowed = max(sizes[0], n0_min)
+            size = max(s for s in sizes if s <= max(allowed, sizes[0]))
+            xb = np.zeros((S, size, cfg.dim), np.float32)
+            ids = np.full((S, size), cfg.capacity, np.int32)
+            levels = np.full((S, size), -1, np.int32)
+            slots = np.full((S, size), -1, np.int32)
+            uids = np.full((S, size), -1, np.int32)
+            post = []  # entry/max_level updates applied AFTER the step: the
+            # in-step searches must run against the pre-batch entry point
+            for s in range(S):
+                rows = per_shard[s][offs[s]: offs[s] + size]
+                b = self._builders[s]
+                take = len(rows)
+                if take == 0:
+                    continue
+                seeded = 0
+                # first point of an empty shard is seeded host-side
+                if self._counts[s] == 0:
+                    self._graph_seed(s, x[rows[0]],
+                                     int(b._draw_levels(1)[0]))
+                    uid0 = int(user_ids[rows[0]])
+                    self._global_ids = self._global_ids.at[s, 0].set(uid0)
+                    self._counts[s] = 1
+                    seeded = 1
+                    rows = rows[1:]
+                    take -= 1
+                    if take == 0:
+                        offs[s] += 1
+                        continue
+                lv = b._draw_levels(take)
+                xb[s, :take] = x[rows]
+                ids[s, :take] = np.arange(self._counts[s],
+                                          self._counts[s] + take)
+                levels[s, :take] = lv
+                uids[s, :take] = user_ids[rows]
+                ups = np.flatnonzero(lv >= 1)
+                nu = self._host_n_upper(s)
+                if nu + len(ups) > cfg.upper_capacity:
+                    raise ValueError("upper_capacity exceeded")
+                slots[s, np.arange(take)[ups]] = np.arange(
+                    nu, nu + len(ups), dtype=np.int32)
+                post.append((s, ids[s, :take].copy(), lv, nu + len(ups)))
+                self._counts[s] += take
+                offs[s] += take + seeded
+
+            self._flush_scalars()  # pre-batch entries (incl. fresh seeds)
+            self._graph, self._vectors, self._sqnorms, self._global_ids = \
+                step(self._graph, self._vectors, self._sqnorms,
+                     self._global_ids, jnp.asarray(xb), jnp.asarray(ids),
+                     jnp.asarray(levels), jnp.asarray(slots),
+                     jnp.asarray(uids))
+            for s, bids, lv, nu in post:
+                self._post_batch(s, bids, lv, nu)
+            self._flush_scalars()
+            remaining = max(len(per_shard[s]) - offs[s] for s in range(S))
+        self._ntotal += len(x)
+
+    # per-shard scalar bookkeeping (host mirrors, flushed after each step)
+    def _host_scalars(self):
+        if not hasattr(self, "_scal"):
+            self._scal = {"entry": np.full(self.n_shards, -1, np.int64),
+                          "max_level": np.full(self.n_shards, -1, np.int64),
+                          "n_upper": np.zeros(self.n_shards, np.int64)}
+        return self._scal
+
+    def _host_n_upper(self, s):
+        return int(self._host_scalars()["n_upper"][s])
+
+    def _graph_seed(self, s: int, x0: np.ndarray, level: int):
+        sc = self._host_scalars()
+        g, v, sq = self._graph, self._vectors, self._sqnorms
+        v = v.at[s, 0].set(jnp.asarray(x0, v.dtype))
+        sq = sq.at[s, 0].set(float((x0.astype(np.float64) ** 2).sum()))
+        g = g._replace(levels=g.levels.at[s, 0].set(level))
+        if level >= 1:
+            g = g._replace(upper_slot=g.upper_slot.at[s, 0].set(0),
+                           upper_node=g.upper_node.at[s, 0].set(0))
+            sc["n_upper"][s] = 1
+        sc["entry"][s] = 0
+        sc["max_level"][s] = level
+        self._graph, self._vectors, self._sqnorms = g, v, sq
+
+    def _post_batch(self, s, ids, levels, n_upper_new):
+        sc = self._host_scalars()
+        sc["n_upper"][s] = n_upper_new
+        if len(levels) and levels.max() > sc["max_level"][s]:
+            sc["entry"][s] = int(ids[int(np.argmax(levels))])
+            sc["max_level"][s] = int(levels.max())
+
+    def _flush_scalars(self):
+        sc = self._host_scalars()
+        i32 = jnp.int32
+        self._graph = self._graph._replace(
+            entry_point=jax.device_put(
+                jnp.asarray(sc["entry"], i32), self._sh),
+            max_level=jax.device_put(
+                jnp.asarray(sc["max_level"], i32), self._sh),
+            ntotal=jax.device_put(
+                jnp.asarray(self._counts, i32), self._sh),
+            n_upper=jax.device_put(
+                jnp.asarray(sc["n_upper"], i32), self._sh),
+        )
+
+    # ---------------------------------------------------------------- search
+    def _get_search(self, k: int, ef: int):
+        key = (k, ef)
+        if key not in self._searches:
+            cfg = self.config
+
+            def fanout(graph, vectors, sqnorms, gids, queries):
+                d, i = hnsw_search(
+                    _local(graph), vectors[0], sqnorms[0], queries,
+                    k=k, ef_search=ef, metric=cfg.metric,
+                    max_level_cap=cfg.max_level_cap)
+                # local rows -> user ids before leaving the shard
+                gi = jnp.where(i >= 0, gids[0][jnp.maximum(i, 0)], -1)
+                # the one cross-device boundary: gather per-shard top-k
+                all_d = jax.lax.all_gather(d, SHARD_AXIS)   # [S, Q, k]
+                all_i = jax.lax.all_gather(gi, SHARD_AXIS)
+                S = all_d.shape[0]
+                qn = all_d.shape[1]
+                flat_d = jnp.moveaxis(all_d, 0, 1).reshape(qn, S * k)
+                flat_i = jnp.moveaxis(all_i, 0, 1).reshape(qn, S * k)
+                neg, pos = jax.lax.top_k(-flat_d, k)
+                return -neg, jnp.take_along_axis(flat_i, pos, axis=1)
+
+            spec = P(SHARD_AXIS)
+            qspec = P(QUERY_AXIS)
+            self._searches[key] = jax.jit(jax.shard_map(
+                fanout, mesh=self.mesh,
+                in_specs=(spec, spec, spec, spec, qspec),
+                out_specs=(qspec, qspec), check_vma=False))
+        return self._searches[key]
+
+    def search(self, x: np.ndarray, k: int, *, ef_search: int | None = None):
+        if self._ntotal == 0:
+            n = len(x)
+            return (np.full((n, k), np.inf, np.float32),
+                    np.full((n, k), -1, np.int64))
+        ef = int(ef_search or self.ef_search)
+        x = np.asarray(x, np.float32)
+        qp = self.mesh.shape[QUERY_AXIS]
+        pad = (-len(x)) % qp
+        xq = np.pad(x, ((0, pad), (0, 0)))
+        fn = self._get_search(k, max(ef, k))
+        d, i = fn(self._graph, self._vectors, self._sqnorms,
+                  self._global_ids, jnp.asarray(xq))
+        return (np.asarray(d)[: len(x)],
+                np.asarray(i, np.int64)[: len(x)])
