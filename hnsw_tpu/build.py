@@ -107,7 +107,8 @@ def _insert_batch(
 
         state = beam_ops.init_beam(e, e_d, efc, capacity, active=active)
         state = beam_ops.beam_search(state, gather_upper, distance_to,
-                                     max_hops=max_hops)
+                                     max_hops=max_hops,
+                                     visited_mode="buffer")
         cand_ids = jnp.where(active[:, None], state.buf_ids, -1)
         cand_true = to_true(state.buf_dist)
         cand_vecs = vectors[jnp.maximum(cand_ids, 0)].astype(jnp.float32)
@@ -141,7 +142,7 @@ def _insert_batch(
         return neighbors0[node_ids]
 
     state = beam_ops.beam_search(state, gather_l0, distance_to,
-                                 max_hops=max_hops)
+                                 max_hops=max_hops, visited_mode="buffer")
 
     # intra-batch candidates: batch members can't be found via the old graph
     T = min(intra_k, B)

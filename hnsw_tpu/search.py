@@ -39,6 +39,10 @@ def _make_distance_fn(vectors: jax.Array, sqnorms: jax.Array, queries: jax.Array
     """
     qf = queries.astype(jnp.float32)
 
+    del sqnorms  # ||x||^2 is recomputed from the gathered rows: a VPU
+    # reduction over data already in registers is free next to the cost of a
+    # second [Q, K] scattered gather
+
     def distance_to(ids: jax.Array, mask: jax.Array) -> jax.Array:
         ids_safe = jnp.where(mask, ids, 0)
         vecs = vectors[ids_safe].astype(jnp.float32)          # [Q, K, d]
@@ -46,7 +50,9 @@ def _make_distance_fn(vectors: jax.Array, sqnorms: jax.Array, queries: jax.Array
                           preferred_element_type=jnp.float32)
         if metric == IP:
             return -dots
-        return sqnorms[ids_safe] - 2.0 * dots
+        sq = jnp.einsum("qkd,qkd->qk", vecs, vecs,
+                        preferred_element_type=jnp.float32)
+        return sq - 2.0 * dots
 
     return distance_to
 
@@ -98,7 +104,7 @@ def greedy_descend(graph: GraphArrays, distance_to, entry: jax.Array,
 @functools.partial(
     jax.jit,
     static_argnames=("k", "ef_search", "metric", "max_level_cap", "max_hops",
-                     "n_expand", "with_stats"),
+                     "n_expand", "with_stats", "visited_mode"),
 )
 def hnsw_search(
     graph: GraphArrays,
@@ -113,6 +119,7 @@ def hnsw_search(
     max_hops: int = 0,
     n_expand: int = 1,
     with_stats: bool = False,
+    visited_mode: str = "buffer",
 ):
     """Batched k-NN query. Returns (dists [Q, k], ids [Q, k]) sorted
     ascending; ids are -1 (dist inf) past the reachable set. With
@@ -137,17 +144,22 @@ def hnsw_search(
         jnp.zeros((qn,), jnp.int32), max_level_cap)
 
     # --- level-0 beam search
-    state = beam_ops.init_beam(ep0, ep0_dist, ef, capacity)
+    state = beam_ops.init_beam(ep0, ep0_dist, ef, capacity,
+                               visited_mode=visited_mode)
 
     def gather_l0(ids):  # [Q, T] -> [Q, T, m0]
         return graph.neighbors0[ids]
 
     state = beam_ops.beam_search(state, gather_l0, distance_to,
-                                 max_hops=max_hops, n_expand=n_expand)
+                                 max_hops=max_hops, n_expand=n_expand,
+                                 visited_mode=visited_mode)
 
     # --- top-k extraction (buffer is already sorted ascending)
-    out_d = state.buf_dist[:, :k]
-    out_i = state.buf_ids[:, :k]
+    buf_ids, buf_dist = state.buf_ids, state.buf_dist
+    if n_expand > 1:  # collapse rare in-buffer duplicates (see ops/beam.py)
+        buf_ids, buf_dist = beam_ops.dedup_sorted_buffer(buf_ids, buf_dist)
+    out_d = buf_dist[:, :k]
+    out_i = buf_ids[:, :k]
     if metric == L2:  # restore true squared L2 (surrogate dropped ||q||^2)
         qn2 = jnp.sum(queries * queries, axis=1, keepdims=True)
         out_d = jnp.where(out_i >= 0, out_d + qn2, jnp.inf)
