@@ -92,18 +92,24 @@ def _insert_batch(
                             cfg.max_level_cap)
 
     max_hops = 4 * efc + 16
-    upper_adj = graph.upper_neighbors
     neighbors0 = graph.neighbors0
 
-    # ---- 3. upper levels, top down (static loop; beams exit in one
-    # iteration for levels where no batch point is active)
-    for level in range(cfg.max_level_cap, 0, -1):
-        lvl_idx = level - 1
+    # ---- 3. upper levels, top down. ONE traced level-step (lax.fori_loop
+    # with a dynamic level index) instead of max_level_cap unrolled copies:
+    # the insert program is by far the biggest XLA program in the package and
+    # compile time scales with its size. Beams exit in one while-iteration
+    # for levels where no batch point is active.
+    def level_step(i, carry):
+        upper_adj, e, e_d = carry
+        level = cfg.max_level_cap - i          # L_cap .. 1
+        lidx = level - 1
         active = valid_p & (level <= levels) & (level <= graph.max_level)
+        adj_l = jax.lax.dynamic_index_in_dim(upper_adj, lidx, axis=1,
+                                             keepdims=False)  # [U, m]
 
-        def gather_upper(node_ids, _adj=upper_adj, _l=lvl_idx):
+        def gather_upper(node_ids):
             slot = jnp.maximum(graph.upper_slot[node_ids], 0)
-            return _adj[slot, _l]
+            return adj_l[slot]
 
         state = beam_ops.init_beam(e, e_d, efc, capacity, active=active)
         state = beam_ops.beam_search(state, gather_upper, distance_to,
@@ -116,8 +122,8 @@ def _insert_batch(
                                    m=cfg.m, metric=metric)
 
         # forward links: one fresh row per new node at this level
-        row = jnp.where(active & (slots >= 0), slots, upper_adj.shape[0])
-        upper_lvl = upper_adj[:, lvl_idx, :].at[row].set(kept, mode="drop")
+        row = jnp.where(active & (slots >= 0), slots, adj_l.shape[0])
+        adj_l = adj_l.at[row].set(kept, mode="drop")
 
         # back-links (dst row == dst's upper slot at this level)
         dst = kept.reshape(-1)
@@ -125,15 +131,21 @@ def _insert_batch(
         pair_ok = (dst >= 0) & jnp.broadcast_to(active[:, None],
                                                 kept.shape).reshape(-1)
         dst_rows = jnp.where(pair_ok, new_uslot[jnp.maximum(dst, 0)], -1)
-        upper_lvl = apply_backlinks(
-            upper_lvl, jnp.maximum(dst_rows, 0), dst, src,
+        adj_l = apply_backlinks(
+            adj_l, jnp.maximum(dst_rows, 0), dst, src,
             pair_ok & (dst_rows >= 0), vectors,
             r_window=r_window, metric=metric)
-        upper_adj = upper_adj.at[:, lvl_idx, :].set(upper_lvl)
+        upper_adj = jax.lax.dynamic_update_index_in_dim(
+            upper_adj, adj_l, lidx, axis=1)
 
         # entries for the next level: nearest candidate found here
         e = jnp.where(active, state.buf_ids[:, 0], e)
         e_d = jnp.where(active, state.buf_dist[:, 0], e_d)
+        return upper_adj, e, e_d
+
+    upper_adj, e, e_d = jax.lax.fori_loop(
+        0, cfg.max_level_cap, level_step,
+        (graph.upper_neighbors, e, e_d))
 
     # ---- 4. level 0
     state = beam_ops.init_beam(e, e_d, efc, capacity, active=valid_p)

@@ -115,7 +115,10 @@ class HnswIndex:
             n = len(x)
             return (np.full((n, k), np.inf, np.float32),
                     np.full((n, k), -1, np.int64))
-        x = jnp.asarray(np.asarray(x, np.float32))
+        # jax arrays pass through untouched — callers doing repeated searches
+        # should stage queries on device once (jnp.asarray) and reuse
+        if not isinstance(x, jax.Array):
+            x = jnp.asarray(np.asarray(x, np.float32))
         ef = int(ef_search or self.ef_search)
         out = hnsw_search(
             self._graph, self._vectors, self._sqnorms, x,
