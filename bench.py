@@ -23,11 +23,15 @@ Env knobs:
 from __future__ import annotations
 
 import json
+import logging
 import os
 import sys
 import time
 
 import numpy as np
+
+logging.basicConfig(stream=sys.stderr, level=logging.INFO,
+                    format="[%(name)s] %(message)s")
 
 
 def _log(*a):

@@ -28,11 +28,14 @@ the entry-point scalars between batches.
 from __future__ import annotations
 
 import functools
-import math
+import logging
+import time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+logger = logging.getLogger("hnsw_tpu.build")
 
 from .config import IP, L2, HnswConfig
 from .graph import GraphArrays
@@ -269,7 +272,14 @@ class DeviceBuilder:
             i = 1
 
         step = self._get_step(efc)
+        t_start = time.time()
+        last_log = t_start
         while i < len(x):
+            if time.time() - last_log > 15:
+                rate = i / max(time.time() - t_start, 1e-9)
+                logger.info("build progress: %d/%d inserted (%.0f/s)",
+                            i, len(x), rate)
+                last_log = time.time()
             # graph-size-bounded growth: batch never exceeds the current
             # graph size class (early inserts need a dense-enough graph)
             allowed = max(self.BATCH_SIZES[0], n0)
@@ -312,4 +322,8 @@ class DeviceBuilder:
                 ntotal=jnp.asarray(n0, i32),
                 n_upper=jnp.asarray(n_upper, i32),
             )
+        # jax dispatch is async: without this, add() returns while batches
+        # are still executing and wall-clock accounting lands on the next
+        # device sync instead (e.g. inside save or search)
+        jax.block_until_ready(graph.neighbors0)
         return graph, vectors, sqnorms

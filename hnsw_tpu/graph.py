@@ -68,21 +68,28 @@ def empty_graph(cfg: HnswConfig) -> GraphArrays:
 # ---------------------------------------------------------------------------
 
 def save_graph(path: str, graph: GraphArrays, vectors: jax.Array,
-               cfg: HnswConfig) -> None:
+               cfg: HnswConfig, extra: dict | None = None) -> None:
+    """``extra`` (JSON-serializable) carries auxiliary state — e.g. the
+    builder RNG for exact mid-build checkpoint/resume (SURVEY.md §5)."""
     arrs = {f"graph_{k}": np.asarray(v) for k, v in graph._asdict().items()}
     np.savez_compressed(path, vectors=np.asarray(vectors),
-                        config_json=np.bytes_(cfg.to_json()), **arrs)
+                        config_json=np.bytes_(cfg.to_json()),
+                        extra_json=np.bytes_(json.dumps(extra or {})),
+                        **arrs)
 
 
 def load_graph(path: str):
-    """Returns (graph, vectors, config)."""
+    """Returns (graph, vectors, config, extra)."""
     with np.load(path, allow_pickle=False) as z:
         cfg = HnswConfig.from_json(bytes(z["config_json"].item()).decode())
         graph = GraphArrays(**{
             k: jnp.asarray(z[f"graph_{k}"]) for k in GraphArrays._fields
         })
         vectors = jnp.asarray(z["vectors"])
-    return graph, vectors, cfg
+        extra = {}
+        if "extra_json" in z:
+            extra = json.loads(bytes(z["extra_json"].item()).decode())
+    return graph, vectors, cfg, extra
 
 
 # ---------------------------------------------------------------------------

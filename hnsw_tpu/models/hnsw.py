@@ -147,13 +147,37 @@ class HnswIndex:
 
     # -- persistence (faiss write_index/read_index parity, C12) ---------------
     def save(self, path: str) -> None:
-        save_graph(path, self._graph, self._vectors, self.config)
+        """Usable at any time, including mid-build: the graph arrays ARE the
+        full builder state, and the level-RNG state rides along so a resumed
+        build is bit-identical to an uninterrupted one (SURVEY.md §5)."""
+        extra = {}
+        if self._builder is not None:
+            extra["builder_rng_state"] = _jsonify(
+                self._builder.rng.bit_generator.state)
+        save_graph(path, self._graph, self._vectors, self.config, extra)
 
     @classmethod
     def load(cls, path: str) -> "HnswIndex":
-        graph, vectors, cfg = load_graph(path)
+        graph, vectors, cfg, extra = load_graph(path)
         idx = cls(config=cfg)
         idx._graph = graph
         idx._vectors = vectors
         idx._sqnorms = compute_sqnorms(vectors)
+        if "builder_rng_state" in extra:
+            from ..build import DeviceBuilder
+            idx._builder = DeviceBuilder(cfg)
+            idx._builder.rng.bit_generator.state = \
+                extra["builder_rng_state"]
         return idx
+
+
+def _jsonify(obj):
+    """numpy scalars inside np.random state dicts -> plain python."""
+    import numpy as _np
+    if isinstance(obj, dict):
+        return {k: _jsonify(v) for k, v in obj.items()}
+    if isinstance(obj, (_np.integer,)):
+        return int(obj)
+    if isinstance(obj, (_np.floating,)):
+        return float(obj)
+    return obj
