@@ -43,7 +43,7 @@ def main():
     try:  # persistent compile cache: repeated bench runs skip the big builds
         jax.config.update("jax_compilation_cache_dir",
                           os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                         "/tmp/jax_comp_cache"))
+                                         "/tmp/jaxcache"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     except Exception:
         pass

@@ -10,6 +10,7 @@ from .graph import GraphArrays, check_invariants, load_graph, save_graph
 from .models.brute import FlatIndex
 from .models.hnsw import HnswIndex
 from .ops.distances import brute_force_topk
+from .parallel.sharded import ShardedHnswIndex, make_mesh
 from .reference_impl import NumpyHnsw
 from .search import hnsw_search
 
@@ -17,6 +18,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "IP", "L2", "HnswConfig", "GraphArrays", "HnswIndex", "FlatIndex",
-    "NumpyHnsw", "brute_force_topk", "hnsw_search", "check_invariants",
+    "NumpyHnsw", "ShardedHnswIndex", "make_mesh",
+    "brute_force_topk", "hnsw_search", "check_invariants",
     "save_graph", "load_graph", "__version__",
 ]

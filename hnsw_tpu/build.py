@@ -58,6 +58,7 @@ def _insert_batch(
     ef_construction: int,
     intra_k: int,
     r_window: int,
+    n_expand: int = 4,
 ):
     B = xb.shape[0]
     capacity = cfg.capacity
@@ -116,10 +117,12 @@ def _insert_batch(
 
         state = beam_ops.init_beam(e, e_d, efc, capacity, active=active)
         state = beam_ops.beam_search(state, gather_upper, distance_to,
-                                     max_hops=max_hops,
+                                     max_hops=max_hops, n_expand=n_expand,
                                      visited_mode="buffer")
-        cand_ids = jnp.where(active[:, None], state.buf_ids, -1)
-        cand_true = to_true(state.buf_dist)
+        buf_ids_d, buf_dist_d = beam_ops.dedup_sorted_buffer(
+            state.buf_ids, state.buf_dist)
+        cand_ids = jnp.where(active[:, None], buf_ids_d, -1)
+        cand_true = to_true(buf_dist_d)
         cand_vecs = vectors[jnp.maximum(cand_ids, 0)].astype(jnp.float32)
         kept, _ = select_neighbors(cand_ids, cand_true, cand_vecs,
                                    m=cfg.m, metric=metric)
@@ -142,8 +145,8 @@ def _insert_batch(
             upper_adj, adj_l, lidx, axis=1)
 
         # entries for the next level: nearest candidate found here
-        e = jnp.where(active, state.buf_ids[:, 0], e)
-        e_d = jnp.where(active, state.buf_dist[:, 0], e_d)
+        e = jnp.where(active, buf_ids_d[:, 0], e)
+        e_d = jnp.where(active, buf_dist_d[:, 0], e_d)
         return upper_adj, e, e_d
 
     upper_adj, e, e_d = jax.lax.fori_loop(
@@ -157,7 +160,8 @@ def _insert_batch(
         return neighbors0[node_ids]
 
     state = beam_ops.beam_search(state, gather_l0, distance_to,
-                                 max_hops=max_hops, visited_mode="buffer")
+                                 max_hops=max_hops, n_expand=n_expand,
+                                 visited_mode="buffer")
 
     # intra-batch candidates: batch members can't be found via the old graph
     T = min(intra_k, B)
@@ -171,10 +175,12 @@ def _insert_batch(
     intra_ids = jnp.where(neg > -jnp.inf, ids_safe[pos], -1)
     intra_d = -neg
 
+    buf_ids_d, buf_dist_d = beam_ops.dedup_sorted_buffer(
+        state.buf_ids, state.buf_dist)
     cand_ids = jnp.concatenate(
-        [jnp.where(valid_p[:, None], state.buf_ids, -1), intra_ids], axis=1)
+        [jnp.where(valid_p[:, None], buf_ids_d, -1), intra_ids], axis=1)
     cand_true = jnp.concatenate(
-        [to_true(state.buf_dist), to_true(intra_d)], axis=1)
+        [to_true(buf_dist_d), to_true(intra_d)], axis=1)
     cand_vecs = vectors[jnp.maximum(cand_ids, 0)].astype(jnp.float32)
     kept0, _ = select_neighbors(cand_ids, cand_true, cand_vecs,
                                 m=cfg.m0, metric=metric)
@@ -203,12 +209,13 @@ class DeviceBuilder:
     BATCH_SIZES = (32, 128, 512, 1024)
 
     def __init__(self, cfg: HnswConfig, *, max_batch: int = 1024,
-                 intra_k: int = 32, r_window: int = 16):
+                 intra_k: int = 32, r_window: int = 16, n_expand: int = 4):
         self.cfg = cfg
         self.rng = np.random.default_rng(cfg.seed)
         self.max_batch = max_batch
         self.intra_k = intra_k
         self.r_window = r_window
+        self.n_expand = n_expand
         self._steps: dict = {}
 
     def _draw_levels(self, n: int) -> np.ndarray:
@@ -224,7 +231,8 @@ class DeviceBuilder:
                 functools.partial(_insert_batch, cfg=self.cfg,
                                   ef_construction=ef_construction,
                                   intra_k=self.intra_k,
-                                  r_window=self.r_window),
+                                  r_window=self.r_window,
+                                  n_expand=self.n_expand),
                 donate_argnums=(0, 1, 2),
             )
         return self._steps[key]
