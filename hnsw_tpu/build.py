@@ -282,7 +282,15 @@ class DeviceBuilder:
         step = self._get_step(efc)
         t_start = time.time()
         last_log = t_start
+        batches_since_sync = 0
         while i < len(x):
+            # bound async runahead: dispatching hundreds of batches ahead of
+            # the device destabilizes the runtime (observed wedges) and makes
+            # progress logs meaningless
+            if batches_since_sync >= 16:
+                jax.block_until_ready(graph.neighbors0)
+                batches_since_sync = 0
+            batches_since_sync += 1
             if time.time() - last_log > 15:
                 rate = i / max(time.time() - t_start, 1e-9)
                 logger.info("build progress: %d/%d inserted (%.0f/s)",
