@@ -6,6 +6,7 @@ SURVEY.md for the capability contract and BASELINE.md for targets.
 """
 
 from .config import IP, L2, HnswConfig
+from .factory import index_factory
 from .graph import GraphArrays, check_invariants, load_graph, save_graph
 from .models.brute import FlatIndex
 from .models.hnsw import HnswIndex
@@ -20,5 +21,5 @@ __all__ = [
     "IP", "L2", "HnswConfig", "GraphArrays", "HnswIndex", "FlatIndex",
     "NumpyHnsw", "ShardedHnswIndex", "make_mesh",
     "brute_force_topk", "hnsw_search", "check_invariants",
-    "save_graph", "load_graph", "__version__",
+    "index_factory", "save_graph", "load_graph", "__version__",
 ]

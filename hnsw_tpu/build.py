@@ -45,6 +45,24 @@ from .ops.repair import apply_backlinks
 from .search import _make_distance_fn, greedy_descend
 
 
+def upper_batch_cap(batch_size: int, m: int) -> int:
+    """Static number of leading batch slots reserved for level>=1 points.
+    E[#points with level>=1] = batch/m; 4x margin makes overflow vanishingly
+    rare (the host spills the batch tail if it ever happens)."""
+    return max(32, min(batch_size, 4 * batch_size // m))
+
+
+def order_batch_by_level(lv: np.ndarray, n0: int):
+    """Stable level-descending permutation for a batch.
+
+    The insert program processes upper levels only on the first
+    upper_batch_cap slots, so level>=1 points must come first. User-facing
+    ids stay insertion order: position j carries id n0 + original_index."""
+    perm = np.argsort(-lv, kind="stable")
+    ids = (n0 + np.arange(len(lv), dtype=np.int32))[perm]
+    return perm, ids
+
+
 def _insert_batch(
     graph: GraphArrays,
     vectors: jax.Array,
@@ -98,60 +116,85 @@ def _insert_batch(
     max_hops = 4 * efc + 16
     neighbors0 = graph.neighbors0
 
-    # ---- 3. upper levels, top down. ONE traced level-step (lax.fori_loop
-    # with a dynamic level index) instead of max_level_cap unrolled copies:
-    # the insert program is by far the biggest XLA program in the package and
-    # compile time scales with its size. Beams exit in one while-iteration
-    # for levels where no batch point is active.
+    # ---- 3. upper levels, top down. Three cost controls:
+    #   * ONE traced level-step (lax.fori_loop + dynamic level index) instead
+    #     of max_level_cap unrolled copies — compile time
+    #   * only the first B_UP batch slots participate: the host sorts each
+    #     batch by level (descending), and E[#points with level>=1] = B/m,
+    #     so a static B/8 slice covers upper levels with huge margin while
+    #     shrinking every upper-level beam/prune/repair shape 8x
+    #   * lax.cond skips a level's whole body when no batch point reaches it
+    #     (true for levels >= 2 in almost every batch)
+    b_up = upper_batch_cap(B, cfg.m)
+    xf_up = xf[:b_up]
+    dist_up = _make_distance_fn(vectors, sqnorms, xf_up, metric)
+    qsq_up = qsq[:b_up]
+    slots_up = slots[:b_up]
+    ids_safe_up = ids_safe[:b_up]
+    levels_up = levels[:b_up]
+
     def level_step(i, carry):
-        upper_adj, e, e_d = carry
+        upper_adj, e_up, e_d_up = carry
         level = cfg.max_level_cap - i          # L_cap .. 1
         lidx = level - 1
-        active = valid_p & (level <= levels) & (level <= graph.max_level)
-        adj_l = jax.lax.dynamic_index_in_dim(upper_adj, lidx, axis=1,
-                                             keepdims=False)  # [U, m]
+        active = (levels_up >= 0) & (level <= levels_up) & \
+            (level <= graph.max_level)
 
-        def gather_upper(node_ids):
-            slot = jnp.maximum(graph.upper_slot[node_ids], 0)
-            return adj_l[slot]
+        def work(operands):
+            upper_adj, e_up, e_d_up = operands
+            adj_l = jax.lax.dynamic_index_in_dim(upper_adj, lidx, axis=1,
+                                                 keepdims=False)  # [U, m]
 
-        state = beam_ops.init_beam(e, e_d, efc, capacity, active=active)
-        state = beam_ops.beam_search(state, gather_upper, distance_to,
-                                     max_hops=max_hops, n_expand=n_expand,
-                                     visited_mode="buffer")
-        buf_ids_d, buf_dist_d = beam_ops.dedup_sorted_buffer(
-            state.buf_ids, state.buf_dist)
-        cand_ids = jnp.where(active[:, None], buf_ids_d, -1)
-        cand_true = to_true(buf_dist_d)
-        cand_vecs = vectors[jnp.maximum(cand_ids, 0)].astype(jnp.float32)
-        kept, _ = select_neighbors(cand_ids, cand_true, cand_vecs,
-                                   m=cfg.m, metric=metric)
+            def gather_upper(node_ids):
+                slot = jnp.maximum(graph.upper_slot[node_ids], 0)
+                return adj_l[slot]
 
-        # forward links: one fresh row per new node at this level
-        row = jnp.where(active & (slots >= 0), slots, adj_l.shape[0])
-        adj_l = adj_l.at[row].set(kept, mode="drop")
+            state = beam_ops.init_beam(e_up, e_d_up, efc, capacity,
+                                       active=active)
+            state = beam_ops.beam_search(state, gather_upper, dist_up,
+                                         max_hops=max_hops,
+                                         n_expand=n_expand,
+                                         visited_mode="buffer")
+            buf_ids_d, buf_dist_d = beam_ops.dedup_sorted_buffer(
+                state.buf_ids, state.buf_dist)
+            cand_ids = jnp.where(active[:, None], buf_ids_d, -1)
+            cand_true = buf_dist_d + qsq_up if metric == L2 else buf_dist_d
+            cand_vecs = vectors[jnp.maximum(cand_ids, 0)].astype(jnp.float32)
+            kept, _ = select_neighbors(cand_ids, cand_true, cand_vecs,
+                                       m=cfg.m, metric=metric)
 
-        # back-links (dst row == dst's upper slot at this level)
-        dst = kept.reshape(-1)
-        src = jnp.broadcast_to(ids_safe[:, None], kept.shape).reshape(-1)
-        pair_ok = (dst >= 0) & jnp.broadcast_to(active[:, None],
-                                                kept.shape).reshape(-1)
-        dst_rows = jnp.where(pair_ok, new_uslot[jnp.maximum(dst, 0)], -1)
-        adj_l = apply_backlinks(
-            adj_l, jnp.maximum(dst_rows, 0), dst, src,
-            pair_ok & (dst_rows >= 0), vectors,
-            r_window=r_window, metric=metric)
-        upper_adj = jax.lax.dynamic_update_index_in_dim(
-            upper_adj, adj_l, lidx, axis=1)
+            # forward links: one fresh row per new node at this level
+            row = jnp.where(active & (slots_up >= 0), slots_up,
+                            adj_l.shape[0])
+            adj_l = adj_l.at[row].set(kept, mode="drop")
 
-        # entries for the next level: nearest candidate found here
-        e = jnp.where(active, buf_ids_d[:, 0], e)
-        e_d = jnp.where(active, buf_dist_d[:, 0], e_d)
-        return upper_adj, e, e_d
+            # back-links (dst row == dst's upper slot at this level)
+            dst = kept.reshape(-1)
+            src = jnp.broadcast_to(ids_safe_up[:, None],
+                                   kept.shape).reshape(-1)
+            pair_ok = (dst >= 0) & jnp.broadcast_to(
+                active[:, None], kept.shape).reshape(-1)
+            dst_rows = jnp.where(pair_ok, new_uslot[jnp.maximum(dst, 0)], -1)
+            adj_l = apply_backlinks(
+                adj_l, jnp.maximum(dst_rows, 0), dst, src,
+                pair_ok & (dst_rows >= 0), vectors,
+                r_window=r_window, metric=metric)
+            upper_adj2 = jax.lax.dynamic_update_index_in_dim(
+                upper_adj, adj_l, lidx, axis=1)
 
-    upper_adj, e, e_d = jax.lax.fori_loop(
+            # entries for the next level: nearest candidate found here
+            e2 = jnp.where(active, buf_ids_d[:, 0], e_up)
+            e_d2 = jnp.where(active, buf_dist_d[:, 0], e_d_up)
+            return upper_adj2, e2, e_d2
+
+        return jax.lax.cond(jnp.any(active), work, lambda o: o,
+                            (upper_adj, e_up, e_d_up))
+
+    upper_adj, e_up, e_d_up = jax.lax.fori_loop(
         0, cfg.max_level_cap, level_step,
-        (graph.upper_neighbors, e, e_d))
+        (graph.upper_neighbors, e[:b_up], e_d[:b_up]))
+    e = jnp.concatenate([e_up, e[b_up:]])
+    e_d = jnp.concatenate([e_d_up, e_d[b_up:]])
 
     # ---- 4. level 0
     state = beam_ops.init_beam(e, e_d, efc, capacity, active=valid_p)
@@ -303,12 +346,21 @@ class DeviceBuilder:
                        if s <= max(allowed, self.BATCH_SIZES[0])
                        and s <= self.max_batch)
             take = min(len(x) - i, size)
+            lv = all_levels[i:i + take]
+            # keep #upper points within the program's static slice (see
+            # upper_batch_cap): spill the batch tail in the freak case
+            cap_up = upper_batch_cap(size, cfg.m)
+            n_ups = np.cumsum(lv >= 1)
+            if n_ups[-1] > cap_up:
+                take = int(np.searchsorted(n_ups, cap_up, side="right"))
+                lv = lv[:take]
+            perm, pids = order_batch_by_level(lv, n0)
             xb = np.zeros((size, x.shape[1]), np.float32)
-            xb[:take] = x[i:i + take]
+            xb[:take] = x[i:i + take][perm]
             ids = np.full((size,), cfg.capacity, np.int32)
-            ids[:take] = np.arange(n0, n0 + take, dtype=np.int32)
+            ids[:take] = pids
             levels = np.full((size,), -1, np.int32)
-            levels[:take] = all_levels[i:i + take]
+            levels[:take] = lv[perm]
             slots = np.full((size,), -1, np.int32)
             ups = np.flatnonzero(levels >= 1)
             if n_upper + len(ups) > cfg.upper_capacity:

@@ -1,0 +1,40 @@
+"""faiss ``index_factory`` parity (the string-spec constructor users reach
+for first; SURVEY.md §1b "index_factory" in the wrappers layer).
+
+Supported specs (the subset meaningful for this engine):
+  * ``"HNSW"``        -> HnswIndex with default M=32
+  * ``"HNSW32"``      -> HnswIndex(M=32)
+  * ``"HNSW16,Flat"`` -> same (Flat storage is the only codec, as in
+                          faiss IndexHNSWFlat)
+  * ``"Flat"``        -> FlatIndex (exact search)
+Metric: "l2" (faiss METRIC_L2) or "ip" (METRIC_INNER_PRODUCT).
+"""
+
+from __future__ import annotations
+
+import re
+
+from .config import L2
+from .models.brute import FlatIndex
+from .models.hnsw import HnswIndex
+
+
+def index_factory(d: int, spec: str, metric: str = L2, **kw):
+    parts = [p.strip() for p in spec.split(",") if p.strip()]
+    if not parts:
+        raise ValueError(f"empty index spec {spec!r}")
+    head = parts[0]
+    if head == "Flat":
+        if len(parts) > 1:
+            raise ValueError(f"unsupported spec {spec!r}")
+        return FlatIndex(d, metric=metric)
+    m = re.fullmatch(r"HNSW(\d+)?", head)
+    if m:
+        if len(parts) > 2 or (len(parts) == 2 and parts[1] != "Flat"):
+            raise ValueError(
+                f"unsupported spec {spec!r}: only Flat storage exists "
+                "(faiss IndexHNSWFlat parity; PQ/SQ codecs are out of scope, "
+                "SURVEY.md non-goals)")
+        M = int(m.group(1)) if m.group(1) else 32
+        return HnswIndex(d, M, metric, **kw)
+    raise ValueError(f"unsupported index spec {spec!r}")

@@ -35,7 +35,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import L2, HnswConfig
 from ..graph import GraphArrays, empty_graph
-from ..build import DeviceBuilder, _insert_batch
+from ..build import (DeviceBuilder, _insert_batch,
+                     order_batch_by_level, upper_batch_cap)
 from ..search import compute_sqnorms, hnsw_search
 
 SHARD_AXIS = "shard"
@@ -187,18 +188,24 @@ class ShardedHnswIndex:
                         offs[s] += 1
                         continue
                 lv = b._draw_levels(take)
-                xb[s, :take] = x[rows]
-                ids[s, :take] = np.arange(self._counts[s],
-                                          self._counts[s] + take)
-                levels[s, :take] = lv
-                uids[s, :take] = user_ids[rows]
-                ups = np.flatnonzero(lv >= 1)
+                cap_up = upper_batch_cap(size, cfg.m)
+                n_ups = np.cumsum(lv >= 1)
+                if take and n_ups[-1] > cap_up:  # spill tail (see build.py)
+                    take = int(np.searchsorted(n_ups, cap_up, side="right"))
+                    lv = lv[:take]
+                    rows = rows[:take]
+                perm, pids = order_batch_by_level(lv, self._counts[s])
+                xb[s, :take] = x[rows][perm]
+                ids[s, :take] = pids
+                levels[s, :take] = lv[perm]
+                uids[s, :take] = user_ids[rows][perm]
+                ups = np.flatnonzero(levels[s, :take] >= 1)
                 nu = self._host_n_upper(s)
                 if nu + len(ups) > cfg.upper_capacity:
                     raise ValueError("upper_capacity exceeded")
-                slots[s, np.arange(take)[ups]] = np.arange(
-                    nu, nu + len(ups), dtype=np.int32)
-                post.append((s, ids[s, :take].copy(), lv, nu + len(ups)))
+                slots[s, ups] = np.arange(nu, nu + len(ups), dtype=np.int32)
+                post.append((s, ids[s, :take].copy(),
+                             levels[s, :take].copy(), nu + len(ups)))
                 self._counts[s] += take
                 offs[s] += take + seeded
 
