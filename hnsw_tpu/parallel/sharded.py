@@ -298,6 +298,65 @@ class ShardedHnswIndex:
                 out_specs=(qspec, qspec), check_vma=False))
         return self._searches[key]
 
+    # -------------------------------------------------------- persistence
+    def save(self, path: str) -> None:
+        """One .npz holding the stacked (per-shard) arrays + config + host
+        bookkeeping. Loadable onto a mesh of the same shard count."""
+        sc = self._host_scalars()
+        arrs = {f"graph_{k}": np.asarray(v)
+                for k, v in self._graph._asdict().items()}
+        np.savez_compressed(
+            path, vectors=np.asarray(self._vectors),
+            global_ids=np.asarray(self._global_ids),
+            counts=self._counts, ntotal=np.int64(self._ntotal),
+            entry=sc["entry"], max_level=sc["max_level"],
+            n_upper=sc["n_upper"],
+            rng_states=np.bytes_(repr([b.rng.bit_generator.state
+                                       for b in self._builders]).encode()),
+            config_json=np.bytes_(self.config.to_json()), **arrs)
+
+    @classmethod
+    def load(cls, path: str, *, mesh: Mesh | None = None):
+        import ast
+        from ..config import HnswConfig as _C
+        with np.load(path, allow_pickle=False) as z:
+            cfg = _C.from_json(bytes(z["config_json"].item()).decode())
+            counts = z["counts"]
+            idx = cls(config=cfg, mesh=mesh)
+            if idx.n_shards != len(counts):
+                raise ValueError(
+                    f"index was saved with {len(counts)} shards; mesh has "
+                    f"{idx.n_shards}")
+            idx._graph = GraphArrays(**{
+                k: jax.device_put(jnp.asarray(z[f"graph_{k}"]), idx._sh)
+                for k in GraphArrays._fields})
+            idx._vectors = jax.device_put(jnp.asarray(z["vectors"]), idx._sh)
+            idx._sqnorms = jax.device_put(
+                jnp.sum(jnp.asarray(z["vectors"]).astype(jnp.float32) ** 2,
+                        axis=-1), idx._sh)
+            idx._global_ids = jax.device_put(jnp.asarray(z["global_ids"]),
+                                             idx._sh)
+            idx._counts = counts.copy()
+            idx._ntotal = int(z["ntotal"])
+            sc = idx._host_scalars()
+            sc["entry"] = z["entry"].copy()
+            sc["max_level"] = z["max_level"].copy()
+            sc["n_upper"] = z["n_upper"].copy()
+            states = ast.literal_eval(bytes(z["rng_states"].item()).decode())
+            for b, st in zip(idx._builders, states):
+                b.rng.bit_generator.state = st
+        return idx
+
+    def check(self, strict: bool = True) -> list[dict]:
+        """Per-shard structural invariants (debug)."""
+        from ..graph import check_invariants
+        out = []
+        for s in range(self.n_shards):
+            g = GraphArrays(*[jnp.asarray(np.asarray(a)[s])
+                              for a in self._graph])
+            out.append(check_invariants(g, self.config, strict=strict))
+        return out
+
     def search(self, x: np.ndarray, k: int, *, ef_search: int | None = None):
         if self._ntotal == 0:
             n = len(x)

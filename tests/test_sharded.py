@@ -72,3 +72,28 @@ def test_empty_and_errors():
     assert (i == -1).all()
     with pytest.raises(ValueError, match="expected"):
         idx.add(np.zeros((4, 9), np.float32))
+
+
+def test_sharded_save_load(tmp_path, sharded_built):
+    idx, wl = sharded_built
+    d1, i1 = idx.search(wl.queries[:32], k=5)
+    p = str(tmp_path / "sharded.npz")
+    idx.save(p)
+    from hnsw_tpu.parallel.sharded import ShardedHnswIndex
+    idx2 = ShardedHnswIndex.load(p, mesh=idx.mesh)
+    assert idx2.ntotal == idx.ntotal
+    d2, i2 = idx2.search(wl.queries[:32], k=5)
+    assert (i1 == i2).all()
+    import numpy as np
+    np.testing.assert_array_equal(d1, d2)
+    # resumed adds keep working
+    import numpy as _np
+    extra = _np.asarray(wl.base[:8], _np.float32) + 0.01
+    idx2.add(extra)
+    assert idx2.ntotal == idx.ntotal + 8
+
+
+def test_sharded_invariants(sharded_built):
+    idx, _ = sharded_built
+    for st in idx.check():
+        assert st["errors"] == []
