@@ -1,0 +1,103 @@
+"""Sweep the BASELINE.json eval configs (SURVEY.md §2b C15) and emit JSON
+lines per (config, efSearch) point — the ann-benchmarks-style harness.
+
+Usage:
+    python benchmarks/run_all.py [config ...]   # default: sift10k sift1m
+Configs: sift10k sift1m gist1m glove100 deep10m (real files under
+$HNSW_TPU_DATA when present, equal-shape synthetic otherwise — the loader
+records which). Results append to benchmarks/results.jsonl.
+
+Sizes can be scaled down for smoke runs: BENCH_SCALE=0.1 uses 10% of each
+config's database.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import sys
+import time
+
+import numpy as np
+
+logging.basicConfig(stream=sys.stderr, level=logging.INFO,
+                    format="[%(name)s] %(message)s")
+
+CONFIG_HP = {  # BASELINE.json:7-11 hyperparameters
+    "sift10k": dict(m=16, efc=200, ef_sweep=(16, 32, 64)),
+    "sift1m": dict(m=32, efc=100, ef_sweep=(16, 32, 48, 64, 96, 128, 192,
+                                            256, 384, 512)),
+    "gist1m": dict(m=32, efc=100, ef_sweep=(32, 64, 128, 256)),
+    "glove100": dict(m=32, efc=100, ef_sweep=(32, 64, 128, 256)),
+    "deep10m": dict(m=32, efc=100, ef_sweep=(32, 64, 128)),
+}
+
+
+def run_config(name: str, scale: float, out):
+    import jax
+    import jax.numpy as jnp
+    import hnsw_tpu
+    from hnsw_tpu.utils.datasets import load_eval_workload
+    from hnsw_tpu.utils.recall import recall_at_k
+
+    hp = CONFIG_HP[name]
+    wl = load_eval_workload(name, n_queries=8192)
+    base = wl.base
+    if scale < 1.0:
+        base = base[: max(1000, int(len(base) * scale))]
+    n, d = base.shape
+    logging.info("config=%s n=%d d=%d metric=%s", wl.name, n, d, wl.metric)
+
+    cap = 1 << (n - 1).bit_length()
+    idx = hnsw_tpu.HnswIndex(d, hp["m"], wl.metric, capacity=cap,
+                             ef_construction=hp["efc"])
+    t0 = time.time()
+    idx.add(base)
+    build_s = time.time() - t0
+
+    if wl.ground_truth is not None and scale >= 1.0:
+        gt = wl.ground_truth[:, :10]
+    else:
+        flat = hnsw_tpu.FlatIndex(d, wl.metric)
+        flat.add(base)
+        _, gt = flat.search(wl.queries, 10)
+
+    qs = jnp.asarray(np.asarray(wl.queries, np.float32))
+    for ef in hp["ef_sweep"]:
+        dd, ii = idx.search(qs, k=10, ef_search=ef)
+        t0 = time.time()
+        dd, ii = idx.search(qs, k=10, ef_search=ef)
+        dt = time.time() - t0
+        rec = {
+            "config": name, "workload": wl.name, "n": n, "d": d,
+            "metric": wl.metric, "m": hp["m"], "ef_construction": hp["efc"],
+            "ef_search": ef, "recall@10": round(recall_at_k(ii, gt, 10), 4),
+            "qps": round(len(wl.queries) / dt, 1),
+            "build_seconds": round(build_s, 1),
+            "batch": len(wl.queries),
+        }
+        print(json.dumps(rec), flush=True)
+        out.write(json.dumps(rec) + "\n")
+        out.flush()
+
+
+def main():
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                         "/tmp/jaxcache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass
+    configs = sys.argv[1:] or ["sift10k", "sift1m"]
+    scale = float(os.environ.get("BENCH_SCALE", "1.0"))
+    path = os.path.join(os.path.dirname(__file__), "results.jsonl")
+    with open(path, "a") as out:
+        for c in configs:
+            run_config(c, scale, out)
+
+
+if __name__ == "__main__":
+    main()

@@ -91,21 +91,42 @@ def apply_backlinks(
     appended = jnp.full((P, W), -1, jnp.int32).at[pidx, rank].set(
         jnp.where(cand_valid, cand_ids, -1), mode="drop")
 
-    # ---- overflow path: heuristic prune to W w.r.t. the destination vector
-    dst_safe = jnp.where(svalid, sdst_id, 0)
-    dvec = vectors[dst_safe].astype(jnp.float32)                # [P, d]
-    cid_safe = jnp.where(cand_valid, cand_ids, 0)
-    cvec = vectors[cid_safe].astype(jnp.float32)                # [P, W+R, d]
-    dots = jnp.einsum("pd,pcd->pc", dvec, cvec,
-                      preferred_element_type=jnp.float32)
-    if metric == L2:
-        dsq = jnp.sum(dvec * dvec, axis=1, keepdims=True)
-        csq = jnp.sum(cvec * cvec, axis=2)
-        cd = dsq + csq - 2.0 * dots
-    else:
-        cd = -dots
-    pruned, _ = select_neighbors(jnp.where(cand_valid, cand_ids, -1), cd,
-                                 cvec, m=W, metric=metric)
+    # ---- overflow path: heuristic prune to W w.r.t. the destination vector.
+    # The candidate-vector gather is [P, W+R, d] — at P = B*m0 and d in the
+    # hundreds that transient alone can exceed HBM (e.g. 20 GB for GIST's
+    # d=960), so the prune streams over row chunks via lax.map.
+    d_model = vectors.shape[1]
+    row_bytes = (W + R) * d_model * 4
+    chunk = max(256, min(P, (1 << 30) // max(row_bytes, 1)))
+    chunk = 1 << (chunk.bit_length() - 1)  # power of two
+    n_chunks = -(-P // chunk)
+    pad = n_chunks * chunk - P
+
+    def pad_p(a, fill):
+        return jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1),
+                       constant_values=fill)
+
+    c_dst = pad_p(jnp.where(svalid, sdst_id, 0), 0).reshape(n_chunks, chunk)
+    c_ids = pad_p(jnp.where(cand_valid, cand_ids, -1), -1).reshape(
+        n_chunks, chunk, W + R)
+
+    def prune_chunk(args):
+        dst_c, ids_c = args
+        dvec = vectors[dst_c].astype(jnp.float32)               # [C, d]
+        cvec = vectors[jnp.maximum(ids_c, 0)].astype(jnp.float32)
+        dots = jnp.einsum("pd,pcd->pc", dvec, cvec,
+                          preferred_element_type=jnp.float32)
+        if metric == L2:
+            dsq = jnp.sum(dvec * dvec, axis=1, keepdims=True)
+            csq = jnp.einsum("pcd,pcd->pc", cvec, cvec,
+                             preferred_element_type=jnp.float32)
+            cd = dsq + csq - 2.0 * dots
+        else:
+            cd = -dots
+        pruned_c, _ = select_neighbors(ids_c, cd, cvec, m=W, metric=metric)
+        return pruned_c
+
+    pruned = jax.lax.map(prune_chunk, (c_dst, c_ids)).reshape(-1, W)[:P]
 
     new_rows = jnp.where((count <= W)[:, None], appended, pruned)
 
