@@ -108,9 +108,14 @@ class HnswIndex:
 
     # -- query ----------------------------------------------------------------
     def search(self, x: np.ndarray, k: int, *, ef_search: int | None = None,
-               with_stats: bool = False):
+               with_stats: bool = False, allowed: np.ndarray | None = None):
         """Batched k-NN. Returns (D [n, k] float32, I [n, k] int64) like
-        faiss; I == -1 where fewer than k reachable."""
+        faiss; I == -1 where fewer than k reachable.
+
+        ``allowed``: optional id filter (faiss IDSelector parity) — either a
+        bool mask over ids or an int array of permitted ids. Traversal is
+        unfiltered; only permitted ids are returned. Raise ef_search when
+        filtering aggressively."""
         if self.ntotal == 0:
             n = len(x)
             return (np.full((n, k), np.inf, np.float32),
@@ -119,12 +124,23 @@ class HnswIndex:
         # should stage queries on device once (jnp.asarray) and reuse
         if not isinstance(x, jax.Array):
             x = jnp.asarray(np.asarray(x, np.float32))
+        if allowed is not None and not isinstance(allowed, jax.Array):
+            a = np.asarray(allowed)
+            if a.dtype != np.bool_:  # id whitelist -> mask
+                mask = np.zeros(self.config.capacity, np.bool_)
+                mask[a] = True
+                a = mask
+            elif len(a) != self.config.capacity:
+                mask = np.zeros(self.config.capacity, np.bool_)
+                mask[: len(a)] = a
+                a = mask
+            allowed = jnp.asarray(a)
         ef = int(ef_search or self.ef_search)
         out = hnsw_search(
             self._graph, self._vectors, self._sqnorms, x,
             k=k, ef_search=ef, metric=self.config.metric,
             max_level_cap=self.config.max_level_cap,
-            n_expand=self.n_expand, with_stats=with_stats)
+            n_expand=self.n_expand, with_stats=with_stats, allowed=allowed)
         if with_stats:
             d, i, stats = out
             return np.asarray(d), np.asarray(i, np.int64), stats

@@ -44,6 +44,11 @@ class BeamState(NamedTuple):
     visited: jax.Array   # uint32 [Q, W]
     hops: jax.Array      # int32 []       total loop iterations
     ndis: jax.Array      # int32 [Q]      distances computed (faiss hnsw_stats)
+    # filtered search (faiss IDSelector parity): traversal uses the
+    # unfiltered buffer above; allowed candidates additionally compete for
+    # this separate result top-k. None when no filter is active.
+    res_ids: jax.Array | None = None   # int32 [Q, k]
+    res_dist: jax.Array | None = None  # f32   [Q, k]
 
 
 def init_visited(q: int, capacity: int) -> jax.Array:
@@ -97,6 +102,20 @@ def init_beam(entry_ids: jax.Array, entry_dists: jax.Array, ef: int,
                      jnp.asarray(0, jnp.int32), jnp.zeros((qn,), jnp.int32))
 
 
+def attach_result_buffer(state: BeamState, k: int, allowed: jax.Array
+                         ) -> BeamState:
+    """Enable filtered search: a separate [Q, k] result top-k collects only
+    ids with allowed[id] True (the entry point included when allowed)."""
+    qn, _ = state.buf_ids.shape
+    e_id = state.buf_ids[:, 0]
+    ok = (e_id >= 0) & allowed[jnp.maximum(e_id, 0)]
+    res_ids = jnp.full((qn, k), -1, jnp.int32).at[:, 0].set(
+        jnp.where(ok, e_id, -1))
+    res_dist = jnp.full((qn, k), INF, jnp.float32).at[:, 0].set(
+        jnp.where(ok, state.buf_dist[:, 0], INF))
+    return state._replace(res_ids=res_ids, res_dist=res_dist)
+
+
 def beam_search(
     state: BeamState,
     gather_neighbors: Callable[[jax.Array], jax.Array],
@@ -104,6 +123,7 @@ def beam_search(
     max_hops: int,
     n_expand: int = 1,
     visited_mode: str = "buffer",
+    allowed: jax.Array | None = None,
 ) -> BeamState:
     """Run best-first expansion until every query's buffer is fully expanded.
 
@@ -187,8 +207,20 @@ def beam_search(
         buf_ids = sp[:, :ef] >> 1
         buf_exp2 = (sp[:, :ef] & 1).astype(jnp.bool_)
 
+        res_ids, res_dist = s.res_ids, s.res_dist
+        if allowed is not None:
+            # filtered result top-k: only selector-approved candidates
+            res_ok = fresh & allowed[jnp.where(fresh, nbrs, 0)]
+            rd = jnp.concatenate(
+                [res_dist, jnp.where(res_ok, dist, INF)], axis=1)
+            ri = jnp.concatenate(
+                [res_ids, jnp.where(res_ok, nbrs, -1)], axis=1)
+            srd, sri = jax.lax.sort((rd, ri), num_keys=1)
+            k = res_ids.shape[1]
+            res_dist, res_ids = srd[:, :k], sri[:, :k]
+
         return BeamState(buf_ids, buf_dist, buf_exp2, visited,
-                         s.hops + 1, ndis)
+                         s.hops + 1, ndis, res_ids, res_dist)
 
     return jax.lax.while_loop(cond, body, state)
 

@@ -123,10 +123,17 @@ def hnsw_search(
     n_expand: int = 1,
     with_stats: bool = False,
     visited_mode: str = "buffer",
+    allowed: jax.Array | None = None,
 ):
     """Batched k-NN query. Returns (dists [Q, k], ids [Q, k]) sorted
     ascending; ids are -1 (dist inf) past the reachable set. With
-    ``with_stats`` also returns SearchStats (faiss hnsw_stats parity)."""
+    ``with_stats`` also returns SearchStats (faiss hnsw_stats parity).
+
+    ``allowed`` (bool [capacity], optional) enables filtered search — faiss
+    SearchParametersHNSW/IDSelector parity: the graph is traversed
+    unfiltered (disallowed nodes still route), but only selector-approved
+    ids are returned. At high filter rates raise ef_search to keep k results
+    (same guidance as faiss)."""
     ef = max(ef_search, k)
     if max_hops <= 0:
         # every hop expands >=1 buffer entry; entries only leave the buffer by
@@ -149,18 +156,26 @@ def hnsw_search(
     # --- level-0 beam search
     state = beam_ops.init_beam(ep0, ep0_dist, ef, capacity,
                                visited_mode=visited_mode)
+    if allowed is not None:
+        state = beam_ops.attach_result_buffer(state, k, allowed)
 
     def gather_l0(ids):  # [Q, T] -> [Q, T, m0]
         return graph.neighbors0[ids]
 
     state = beam_ops.beam_search(state, gather_l0, distance_to,
                                  max_hops=max_hops, n_expand=n_expand,
-                                 visited_mode=visited_mode)
+                                 visited_mode=visited_mode, allowed=allowed)
 
     # --- top-k extraction (buffer is already sorted ascending)
-    buf_ids, buf_dist = state.buf_ids, state.buf_dist
-    if n_expand > 1:  # collapse rare in-buffer duplicates (see ops/beam.py)
-        buf_ids, buf_dist = beam_ops.dedup_sorted_buffer(buf_ids, buf_dist)
+    if allowed is not None:
+        # filtered results can contain re-encounter duplicates: collapse
+        buf_ids, buf_dist = beam_ops.dedup_sorted_buffer(
+            state.res_ids, state.res_dist)
+    else:
+        buf_ids, buf_dist = state.buf_ids, state.buf_dist
+        if n_expand > 1:  # collapse rare in-buffer dups (see ops/beam.py)
+            buf_ids, buf_dist = beam_ops.dedup_sorted_buffer(
+                buf_ids, buf_dist)
     out_d = buf_dist[:, :k]
     out_i = buf_ids[:, :k]
     if metric == L2:  # restore true squared L2 (surrogate dropped ||q||^2)
