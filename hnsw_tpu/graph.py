@@ -129,7 +129,6 @@ def check_invariants(graph: GraphArrays, cfg: HnswConfig,
             errors.append(f"{stats['isolated0']} isolated nodes at level 0")
         # reciprocity rate (diagnostic, not an error: the heuristic legally
         # prunes one direction, same as faiss shrink_neighbor_list)
-        import collections
         edges = set()
         rec = 0
         tot = 0

@@ -9,7 +9,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from ..config import L2, HnswConfig
+from ..config import L2
 from ..ops.distances import brute_force_topk
 
 

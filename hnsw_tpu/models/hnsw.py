@@ -20,7 +20,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..config import IP, L2, HnswConfig
+from ..config import L2, HnswConfig
 from ..graph import GraphArrays, check_invariants, empty_graph, load_graph, save_graph
 from ..reference_impl import NumpyHnsw
 from ..search import compute_sqnorms, hnsw_search

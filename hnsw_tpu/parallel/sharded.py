@@ -26,8 +26,6 @@ everything below works unchanged (XLA collectives ride ICI/DCN).
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -37,7 +35,7 @@ from ..config import L2, HnswConfig
 from ..graph import GraphArrays, empty_graph
 from ..build import (DeviceBuilder, _insert_batch,
                      order_batch_by_level, upper_batch_cap)
-from ..search import compute_sqnorms, hnsw_search
+from ..search import hnsw_search
 
 SHARD_AXIS = "shard"
 QUERY_AXIS = "q"

@@ -19,7 +19,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .config import IP, L2, HnswConfig
+from .config import IP, L2
 from .graph import GraphArrays
 from .ops import beam as beam_ops
 
