@@ -68,10 +68,14 @@ def empty_graph(cfg: HnswConfig) -> GraphArrays:
 # ---------------------------------------------------------------------------
 
 def save_graph(path: str, graph: GraphArrays, vectors: jax.Array,
-               cfg: HnswConfig, extra: dict | None = None) -> None:
+               cfg: HnswConfig, extra: dict | None = None,
+               extra_arrays: dict | None = None) -> None:
     """``extra`` (JSON-serializable) carries auxiliary state — e.g. the
-    builder RNG for exact mid-build checkpoint/resume (SURVEY.md §5)."""
+    builder RNG for exact mid-build checkpoint/resume (SURVEY.md §5);
+    ``extra_arrays`` carries auxiliary numpy arrays (e.g. tombstones)."""
     arrs = {f"graph_{k}": np.asarray(v) for k, v in graph._asdict().items()}
+    for k, v in (extra_arrays or {}).items():
+        arrs[f"xarr_{k}"] = np.asarray(v)
     np.savez_compressed(path, vectors=np.asarray(vectors),
                         config_json=np.bytes_(cfg.to_json()),
                         extra_json=np.bytes_(json.dumps(extra or {})),
@@ -79,7 +83,7 @@ def save_graph(path: str, graph: GraphArrays, vectors: jax.Array,
 
 
 def load_graph(path: str):
-    """Returns (graph, vectors, config, extra)."""
+    """Returns (graph, vectors, config, extra, extra_arrays)."""
     with np.load(path, allow_pickle=False) as z:
         cfg = HnswConfig.from_json(bytes(z["config_json"].item()).decode())
         graph = GraphArrays(**{
@@ -89,7 +93,8 @@ def load_graph(path: str):
         extra = {}
         if "extra_json" in z:
             extra = json.loads(bytes(z["extra_json"].item()).decode())
-    return graph, vectors, cfg, extra
+        extra_arrays = {k[5:]: z[k] for k in z.files if k.startswith("xarr_")}
+    return graph, vectors, cfg, extra, extra_arrays
 
 
 # ---------------------------------------------------------------------------

@@ -50,11 +50,21 @@ class HnswIndex:
         self._sqnorms = jnp.zeros((config.capacity,), jnp.float32)
         self._host: NumpyHnsw | None = None
         self._builder = None  # lazily constructed device builder
+        self._alive = None    # tombstone mask [capacity]; None == no removals
 
     # -- properties ----------------------------------------------------------
     @property
     def ntotal(self) -> int:
+        """Slots used, INCLUDING tombstoned ids (ids are stable here; faiss
+        remove_ids compacts and renumbers, we deliberately do not)."""
         return int(self._graph.ntotal)
+
+    @property
+    def n_deleted(self) -> int:
+        if self._alive is None:
+            return 0
+        return int(self.ntotal - np.asarray(
+            self._alive[: self.ntotal]).sum())
 
     @property
     def d(self) -> int:  # faiss naming
@@ -135,6 +145,9 @@ class HnswIndex:
                 mask[: len(a)] = a
                 a = mask
             allowed = jnp.asarray(a)
+        if self._alive is not None:  # tombstones compose with user filters
+            allowed = self._alive if allowed is None else \
+                (allowed & self._alive)
         ef = int(ef_search or self.ef_search)
         out = hnsw_search(
             self._graph, self._vectors, self._sqnorms, x,
@@ -155,6 +168,22 @@ class HnswIndex:
     def reconstruct_n(self, i0: int, n: int) -> np.ndarray:
         return np.asarray(self._vectors[i0:i0 + n], np.float32)
 
+    # -- deletion (tombstones; a capability faiss-HNSW lacks entirely) --------
+    def remove_ids(self, ids: np.ndarray) -> int:
+        """Tombstone ids: they stop appearing in results immediately but keep
+        routing queries through the graph (standard HNSW tombstoning — the
+        graph is never broken). Slots are not reused; remaining ids are
+        unchanged (unlike faiss remove_ids, which renumbers). Returns the
+        number of newly removed ids."""
+        ids = np.asarray(ids).reshape(-1)
+        if ((ids < 0) | (ids >= self.ntotal)).any():
+            raise IndexError("remove_ids: id out of range")
+        if self._alive is None:
+            self._alive = jnp.ones((self.config.capacity,), jnp.bool_)
+        before = self.n_deleted
+        self._alive = self._alive.at[jnp.asarray(ids, jnp.int32)].set(False)
+        return self.n_deleted - before
+
     # -- maintenance ------------------------------------------------------------
     def check(self, strict: bool = True) -> dict:
         """Structural invariant check (debug; SURVEY.md §5 race-detection
@@ -170,15 +199,21 @@ class HnswIndex:
         if self._builder is not None:
             extra["builder_rng_state"] = _jsonify(
                 self._builder.rng.bit_generator.state)
-        save_graph(path, self._graph, self._vectors, self.config, extra)
+        xarr = {}
+        if self._alive is not None:
+            xarr["alive"] = np.asarray(self._alive)
+        save_graph(path, self._graph, self._vectors, self.config, extra,
+                   extra_arrays=xarr)
 
     @classmethod
     def load(cls, path: str) -> "HnswIndex":
-        graph, vectors, cfg, extra = load_graph(path)
+        graph, vectors, cfg, extra, xarr = load_graph(path)
         idx = cls(config=cfg)
         idx._graph = graph
         idx._vectors = vectors
         idx._sqnorms = compute_sqnorms(vectors)
+        if "alive" in xarr:
+            idx._alive = jnp.asarray(xarr["alive"])
         if "builder_rng_state" in extra:
             from ..build import DeviceBuilder
             idx._builder = DeviceBuilder(cfg)
