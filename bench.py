@@ -165,7 +165,9 @@ def _cpu_baseline_qps(base, queries, gt, metric, m, efc, target_recall):
         _log(f"[bench] bundled cpu baseline unavailable: {e!r}")
     try:
         import faiss  # type: ignore
-        fidx = faiss.IndexHNSWFlat(base.shape[1], m)
+        fmetric = (faiss.METRIC_INNER_PRODUCT if metric == "ip"
+                   else faiss.METRIC_L2)
+        fidx = faiss.IndexHNSWFlat(base.shape[1], m, fmetric)
         fidx.hnsw.efConstruction = efc
         faiss.omp_set_num_threads(1)
         fidx.add(base)

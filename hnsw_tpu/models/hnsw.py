@@ -134,17 +134,8 @@ class HnswIndex:
         # should stage queries on device once (jnp.asarray) and reuse
         if not isinstance(x, jax.Array):
             x = jnp.asarray(np.asarray(x, np.float32))
-        if allowed is not None and not isinstance(allowed, jax.Array):
-            a = np.asarray(allowed)
-            if a.dtype != np.bool_:  # id whitelist -> mask
-                mask = np.zeros(self.config.capacity, np.bool_)
-                mask[a] = True
-                a = mask
-            elif len(a) != self.config.capacity:
-                mask = np.zeros(self.config.capacity, np.bool_)
-                mask[: len(a)] = a
-                a = mask
-            allowed = jnp.asarray(a)
+        if allowed is not None:
+            allowed = self._normalize_allowed(allowed)
         if self._alive is not None:  # tombstones compose with user filters
             allowed = self._alive if allowed is None else \
                 (allowed & self._alive)
@@ -159,6 +150,46 @@ class HnswIndex:
             return np.asarray(d), np.asarray(i, np.int64), stats
         d, i = out
         return np.asarray(d), np.asarray(i, np.int64)
+
+    def _normalize_allowed(self, allowed) -> jax.Array:
+        """Normalize a user id filter to a bool [capacity] mask, by dtype and
+        shape — NOT by host/device residency. Accepts an int id-whitelist or
+        a bool mask, as numpy or as a device array (device int whitelists are
+        scattered on device; no host round-trip)."""
+        cap = self.config.capacity
+        if isinstance(allowed, jax.Array):
+            if jnp.issubdtype(allowed.dtype, jnp.integer):
+                return jnp.zeros((cap,), jnp.bool_).at[
+                    allowed.reshape(-1)].set(True, mode="drop")
+            if allowed.dtype != jnp.bool_:
+                raise TypeError(
+                    f"allowed: expected bool mask or int id list, got dtype "
+                    f"{allowed.dtype}")
+            if allowed.ndim != 1 or allowed.shape[0] > cap:
+                raise ValueError(
+                    f"allowed bool mask must be 1-d with length <= capacity "
+                    f"({cap}), got shape {allowed.shape}")
+            if allowed.shape[0] == cap:
+                return allowed
+            return jnp.zeros((cap,), jnp.bool_).at[
+                : allowed.shape[0]].set(allowed)
+        a = np.asarray(allowed)
+        if a.dtype == np.bool_:
+            if a.ndim != 1 or len(a) > cap:
+                raise ValueError(
+                    f"allowed bool mask must be 1-d with length <= capacity "
+                    f"({cap}), got shape {a.shape}")
+            if len(a) != cap:
+                mask = np.zeros(cap, np.bool_)
+                mask[: len(a)] = a
+                a = mask
+            return jnp.asarray(a)
+        if np.issubdtype(a.dtype, np.integer):
+            mask = np.zeros(cap, np.bool_)
+            mask[a.reshape(-1)] = True  # raises on out-of-range, on purpose
+            return jnp.asarray(mask)
+        raise TypeError(
+            f"allowed: expected bool mask or int id list, got dtype {a.dtype}")
 
     def reconstruct(self, i: int) -> np.ndarray:
         if not 0 <= i < self.ntotal:

@@ -209,8 +209,17 @@ def beam_search(
 
         res_ids, res_dist = s.res_ids, s.res_dist
         if allowed is not None:
-            # filtered result top-k: only selector-approved candidates
+            # filtered result top-k: only selector-approved candidates.
+            # Dedup BEFORE the merge: in buffer visited-mode a node displaced
+            # from the beam can be re-encountered, and without this mask its
+            # duplicate copy would permanently evict a genuine rank-k entry
+            # from the fixed [Q, k] result buffer.
             res_ok = fresh & allowed[jnp.where(fresh, nbrs, 0)]
+            in_res = jnp.any(nbrs[:, :, None] == res_ids[:, None, :], axis=2)
+            res_ok = res_ok & ~in_res
+            if n_expand > 1:  # same id under two parents within one hop
+                res_ok = res_ok & _first_occurrence_mask(
+                    jnp.where(res_ok, nbrs, -1))
             rd = jnp.concatenate(
                 [res_dist, jnp.where(res_ok, dist, INF)], axis=1)
             ri = jnp.concatenate(

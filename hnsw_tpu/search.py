@@ -180,7 +180,11 @@ def hnsw_search(
     out_i = buf_ids[:, :k]
     if metric == L2:  # restore true squared L2 (surrogate dropped ||q||^2)
         qn2 = jnp.sum(queries * queries, axis=1, keepdims=True)
-        out_d = jnp.where(out_i >= 0, out_d + qn2, jnp.inf)
+        out_d = out_d + qn2
+    # invalid slots -> +inf for BOTH metrics: under IP an id=-1 slot can
+    # otherwise carry a finite score (e.g. an empty shard's entry point vs
+    # the zero vector) and win a sharded global top-k merge
+    out_d = jnp.where(out_i >= 0, out_d, jnp.inf)
     if with_stats:
         return out_d, out_i, SearchStats(state.hops, state.ndis)
     return out_d, out_i

@@ -63,5 +63,36 @@ def test_unfiltered_unchanged(fidx):
     d1, i1 = idx.search(wl.queries[:32], k=10, ef_search=64)
     mask = np.ones(2000, bool)
     d2, i2 = idx.search(wl.queries[:32], k=10, ef_search=64, allowed=mask)
-    # all-true selector must match the unfiltered result set
-    assert (i1 == i2).mean() > 0.98
+    # all-true selector must match the unfiltered result set exactly
+    # (row-wise as sets: equal-distance ties may order differently)
+    for r1, r2, dd1, dd2 in zip(i1, i2, d1, d2):
+        assert set(r1.tolist()) == set(r2.tolist())
+        np.testing.assert_allclose(np.sort(dd1), np.sort(dd2), rtol=1e-6)
+
+
+def test_device_array_filters(fidx):
+    """Device-resident filters must behave identically to host ones
+    (ADVICE r1: a device int whitelist used to be misread as a bool mask)."""
+    import jax.numpy as jnp
+    idx, wl = fidx
+    ids = np.arange(0, 2000, 3)
+    d1, i1 = idx.search(wl.queries[:16], k=5, ef_search=64, allowed=ids)
+    d2, i2 = idx.search(wl.queries[:16], k=5, ef_search=64,
+                        allowed=jnp.asarray(ids))
+    assert np.array_equal(i1, i2)
+    mask = np.zeros(2000, bool)
+    mask[ids] = True
+    d3, i3 = idx.search(wl.queries[:16], k=5, ef_search=64,
+                        allowed=jnp.asarray(mask))
+    assert np.array_equal(i1, i3)
+    got = i2[i2 >= 0]
+    assert (got % 3 == 0).all()
+
+
+def test_allowed_rejects_bad_inputs(fidx):
+    idx, wl = fidx
+    q = wl.queries[:4]
+    with np.testing.assert_raises(TypeError):
+        idx.search(q, k=5, allowed=np.zeros(2048, np.float32))
+    with np.testing.assert_raises(ValueError):
+        idx.search(q, k=5, allowed=np.ones((4, 512), bool))
