@@ -225,10 +225,16 @@ def _insert_batch(
     cand_true = jnp.concatenate(
         [to_true(buf_dist_d), to_true(intra_d)], axis=1)
     cand_vecs = vectors[jnp.maximum(cand_ids, 0)].astype(jnp.float32)
+    # faiss parity: a new node gets M forward links at level 0 (the m0 = 2M
+    # row width is headroom for back-link growth, not the insert fanout —
+    # faiss add_links_starting_from shrinks to M). Also halves the back-link
+    # pair count below.
     kept0, _ = select_neighbors(cand_ids, cand_true, cand_vecs,
-                                m=cfg.m0, metric=metric)
+                                m=cfg.m, metric=metric)
 
-    neighbors0 = neighbors0.at[ids].set(kept0, mode="drop")
+    kept0_row = jnp.pad(kept0, ((0, 0), (0, cfg.m0 - cfg.m)),
+                        constant_values=-1)
+    neighbors0 = neighbors0.at[ids].set(kept0_row, mode="drop")
     dst = kept0.reshape(-1)
     src = jnp.broadcast_to(ids_safe[:, None], kept0.shape).reshape(-1)
     pair_ok = (dst >= 0) & jnp.broadcast_to(valid_p[:, None],

@@ -64,6 +64,13 @@ class HnswConfig:
             raise ValueError("dim, m, capacity must be positive (m > 1)")
         if self.dtype not in ("float32", "bfloat16"):
             raise ValueError(f"unsupported storage dtype {self.dtype!r}")
+        if self.capacity >= 1 << 24:
+            # ids ride through one-hot f32 matmuls in the prune/compaction
+            # kernels (ops/prune.py) — exact only below 2^24. Larger corpora
+            # use the sharded index (parallel/sharded.py), whose per-shard
+            # capacity is what this bounds.
+            raise ValueError("capacity must be < 2^24 per (shard) index; "
+                             "use ShardedHnswIndex for larger corpora")
         if self.m0 == -1:
             object.__setattr__(self, "m0", 2 * self.m)
         if self.level_mult < 0:

@@ -4,9 +4,18 @@ The quality-critical HNSW pruning rule (paper Alg. 4 / faiss
 ``shrink_neighbor_list``): scanning candidates by increasing distance to the
 query, keep candidate c only if c is closer to the query than to every
 already-kept neighbor. The rule is sequential in the scan position but fully
-data-parallel across the batch, so the TPU realization is: one batched
-pairwise-distance matmul (MXU) + a fori_loop over the candidate axis doing
-[B]-wide mask updates (VPU).
+data-parallel across the batch.
+
+TPU realization: the scan order is NOT obtained by sorting. Row-wise
+argsort + take_along_axis of the [B, C, d] candidate vectors measured ~61 ms
+per 16k-row chunk on v5e (gathers/sorts serialize); instead we compute
+counting ranks (one [B, C, C] comparison + row-sum, pure VPU) and apply the
+permutation as a one-hot MATMUL on the MXU — exact for f32 payloads, and an
+order of magnitude faster than the gather-based formulation. The final
+compaction scatter is a one-hot matmul for the same reason.
+
+Numeric contract: candidate ids must be < 2^24 (exact in f32; capacity-
+checked in HnswConfig) and distances < 1e30 (BIG sentinel).
 """
 
 from __future__ import annotations
@@ -18,6 +27,8 @@ import jax.numpy as jnp
 
 from ..config import IP, L2
 
+BIG = 1e30  # finite +inf stand-in: rides through one-hot matmuls NaN-free
+
 
 def pairwise_candidate_distances(vecs: jax.Array, metric: str) -> jax.Array:
     """[B, C, d] -> [B, C, C] true metric distances between candidates."""
@@ -27,6 +38,23 @@ def pairwise_candidate_distances(vecs: jax.Array, metric: str) -> jax.Array:
         return -dots
     sq = jnp.einsum("bid,bid->bi", v, v, preferred_element_type=jnp.float32)
     return sq[:, :, None] + sq[:, None, :] - 2.0 * dots
+
+
+def counting_rank(key: jax.Array) -> jax.Array:
+    """Stable ascending rank per row without a sort: rank[b, j] =
+    #{i : key[b,i] < key[b,j] or (key[b,i] == key[b,j] and i < j)}."""
+    C = key.shape[-1]
+    idx = jnp.arange(C, dtype=jnp.int32)
+    less = key[:, None, :] < key[:, :, None]               # [B, j, i]
+    tie = (key[:, None, :] == key[:, :, None]) & \
+        (idx[None, None, :] < idx[None, :, None])
+    return jnp.sum(less | tie, axis=2, dtype=jnp.int32)    # [B, C]
+
+
+def permutation_onehot(rank: jax.Array, n_out: int) -> jax.Array:
+    """O[b, r, j] = 1.0 where rank[b, j] == r; f32 [B, n_out, C]."""
+    r_iota = jnp.arange(n_out, dtype=jnp.int32)
+    return (rank[:, None, :] == r_iota[None, :, None]).astype(jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("m", "metric"))
@@ -45,38 +73,61 @@ def select_neighbors(
     must not occur (graph invariant).
     """
     B, C = cand_ids.shape
-    big = jnp.inf
-    d_sorted_key = jnp.where(cand_ids >= 0, cand_dists, big)
-    order = jnp.argsort(d_sorted_key, axis=1)
-    ids = jnp.take_along_axis(cand_ids, order, axis=1)
-    dist_q = jnp.take_along_axis(d_sorted_key, order, axis=1)
-    vecs = jnp.take_along_axis(cand_vecs, order[:, :, None], axis=1)
+    key = jnp.where(cand_ids >= 0, jnp.minimum(cand_dists, BIG / 2), BIG)
 
-    pair = pairwise_candidate_distances(vecs, metric)  # [B, C, C]
+    # --- scan order via counting ranks + one-hot matmul permutation
+    rank = counting_rank(key)                               # [B, C]
+    O = permutation_onehot(rank, C)                         # [B, C, C] f32
+    ids_f = cand_ids.astype(jnp.float32)                    # exact: id < 2^24
+    ids_s = jnp.einsum("brj,bj->br", O, ids_f,
+                       preferred_element_type=jnp.float32)
+    dist_s = jnp.einsum("brj,bj->br", O, key,
+                        preferred_element_type=jnp.float32)
+    vecs_s = jnp.einsum("brj,bjd->brd", O, cand_vecs.astype(jnp.float32),
+                        preferred_element_type=jnp.float32)
+
+    pair = pairwise_candidate_distances(vecs_s, metric)     # [B, C, C]
+    valid_s = dist_s < BIG / 2
 
     kept = jnp.zeros((B, C), jnp.bool_)
     count = jnp.zeros((B,), jnp.int32)
 
     def body(j, state):
         kept, count = state
-        dj = dist_q[:, j]                                   # [B]
-        valid = (ids[:, j] >= 0) & (dj < big)
+        dj = dist_s[:, j]                                   # [B]
         # conflict: some already-kept i has dist(c_j, c_i) < dist(c_j, q)
         conflict = jnp.any(kept & (pair[:, j, :] < dj[:, None]), axis=1)
-        take = valid & ~conflict & (count < m)
+        take = valid_s[:, j] & ~conflict & (count < m)
         kept = kept.at[:, j].set(take)
         return kept, count + take.astype(jnp.int32)
 
     kept, count = jax.lax.fori_loop(0, C, body, (kept, count))
 
-    # compact kept ids (scan order) into m slots
-    rank = jnp.cumsum(kept.astype(jnp.int32), axis=1) - 1   # [B, C]
-    out = jnp.full((B, m), -1, jnp.int32)
-    bidx = jax.lax.broadcasted_iota(jnp.int32, (B, C), 0)
-    rank_c = jnp.where(kept, rank, m)  # dropped -> out-of-range slot
-    out = out.at[bidx, rank_c].set(jnp.where(kept, ids, -1), mode="drop")
+    # --- compact kept ids (scan order) into m slots: one-hot matmul, not a
+    # scatter (TPU scatters serialize; measured ~60 ms at [64k, 80])
+    rank2 = jnp.cumsum(kept.astype(jnp.int32), axis=1) - 1  # [B, C]
+    comp = permutation_onehot(jnp.where(kept, rank2, -1), m)  # [B, m, C]
+    out_f = jnp.einsum("bsr,br->bs", comp, ids_s,
+                       preferred_element_type=jnp.float32)
+    has = jnp.einsum("bsr,br->bs", comp, kept.astype(jnp.float32),
+                     preferred_element_type=jnp.float32) > 0.5
+    out = jnp.where(has, out_f.astype(jnp.int32), -1)
 
-    # un-sort kept_mask back to the caller's candidate order
-    inv_mask = jnp.zeros((B, C), jnp.bool_)
-    inv_mask = inv_mask.at[bidx, order].set(kept)
-    return out, inv_mask
+    # --- un-sort kept back to the caller's candidate order (matmul again)
+    kept_orig = jnp.einsum("brj,br->bj", O, kept.astype(jnp.float32),
+                           preferred_element_type=jnp.float32) > 0.5
+    return out, kept_orig
+
+
+def compact_append(cand_ids: jax.Array, width: int) -> jax.Array:
+    """Compact each row's valid (>= 0) ids into the first slots, preserving
+    order; rows wider than ``width`` are truncated. One-hot matmul instead of
+    a scatter (same TPU-scatter rationale as above). [B, C] -> [B, width]."""
+    cv = cand_ids >= 0
+    rank = jnp.cumsum(cv.astype(jnp.int32), axis=1) - 1
+    one = permutation_onehot(jnp.where(cv, rank, -1), width)  # [B, width, C]
+    out_f = jnp.einsum("bwc,bc->bw", one, cand_ids.astype(jnp.float32),
+                       preferred_element_type=jnp.float32)
+    has = jnp.einsum("bwc,bc->bw", one, cv.astype(jnp.float32),
+                     preferred_element_type=jnp.float32) > 0.5
+    return jnp.where(has, out_f.astype(jnp.int32), -1)

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import L2
-from .prune import select_neighbors
+from .prune import compact_append, select_neighbors
 
 
 @functools.partial(jax.jit, static_argnames=("r_window", "metric"))
@@ -84,12 +84,10 @@ def apply_backlinks(
     cand_valid = cand_ids >= 0
     count = jnp.sum(cand_valid, axis=1)                         # [P]
 
-    # ---- append path (no overflow): compact valid candidates in order
-    rank = jnp.cumsum(cand_valid.astype(jnp.int32), axis=1) - 1
-    rank = jnp.where(cand_valid, jnp.minimum(rank, W), W)       # W == drop slot
-    pidx = jax.lax.broadcasted_iota(jnp.int32, cand_ids.shape, 0)
-    appended = jnp.full((P, W), -1, jnp.int32).at[pidx, rank].set(
-        jnp.where(cand_valid, cand_ids, -1), mode="drop")
+    # ---- append path (no overflow): compact valid candidates in order.
+    # One-hot matmul, not a scatter (a [P, W] scatter measured ~60 ms at
+    # P=64k on v5e; the matmul is ~2 ms).
+    appended = compact_append(cand_ids, W)
 
     # ---- overflow path: heuristic prune to W w.r.t. the destination vector.
     # The candidate-vector gather is [P, W+R, d] — at P = B*m0 and d in the
