@@ -209,7 +209,8 @@ def _insert_batch(
     # intra-batch candidates: batch members can't be found via the old graph
     T = min(intra_k, B)
     bsq = jnp.sum(xf * xf, axis=1)
-    dots = jnp.dot(xf, xf.T, preferred_element_type=jnp.float32)
+    dots = jnp.dot(xf, xf.T, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
     intra = -dots if metric == IP else bsq[None, :] - 2.0 * dots
     eye = jnp.eye(B, dtype=jnp.bool_)
     ok = (~eye) & valid_p[None, :] & valid_p[:, None]
@@ -247,6 +248,60 @@ def _insert_batch(
     return graph, vectors, sqnorms
 
 
+def _insert_batch_staged(
+    graph: GraphArrays,
+    vectors: jax.Array,
+    sqnorms: jax.Array,
+    xs: jax.Array,      # f32 [Ns, d]  staged vectors, batch order
+    ids_s: jax.Array,   # int32 [Ns]   staged ids
+    lv_s: jax.Array,    # int32 [Ns]   staged levels
+    sl_s: jax.Array,    # int32 [Ns]   staged upper slots
+    offset: jax.Array,  # int32 []     batch start in the staged arrays
+    take: jax.Array,    # int32 []     valid rows (rest masked as pads)
+    *,
+    size: int,
+    cfg: HnswConfig,
+    ef_construction: int,
+    intra_k: int,
+    r_window: int,
+    n_expand: int = 4,
+):
+    """One insert batch sliced out of device-staged arrays + on-device scalar
+    (entry point / max level / counters) updates.
+
+    This is the transfer-free batch step: the host stages the whole insert
+    schedule once (one H2D), then each batch is (offset, take) scalars. The
+    driver environment's tunnel can degrade to ~0.2 MB/s (SKILL.md), which
+    made per-batch H2D the recorded round-1 bottleneck."""
+    xb = jax.lax.dynamic_slice_in_dim(xs, offset, size, axis=0)
+    ids = jax.lax.dynamic_slice_in_dim(ids_s, offset, size, axis=0)
+    levels = jax.lax.dynamic_slice_in_dim(lv_s, offset, size, axis=0)
+    slots = jax.lax.dynamic_slice_in_dim(sl_s, offset, size, axis=0)
+    live = jnp.arange(size, dtype=jnp.int32) < take
+    ids = jnp.where(live, ids, cfg.capacity)   # pad id == capacity (dropped)
+    levels = jnp.where(live, levels, -1)
+    slots = jnp.where(live, slots, -1)
+
+    graph, vectors, sqnorms = _insert_batch(
+        graph, vectors, sqnorms, xb, ids, levels, slots, cfg=cfg,
+        ef_construction=ef_construction, intra_k=intra_k,
+        r_window=r_window, n_expand=n_expand)
+
+    # scalar bookkeeping on device (no host round-trip between batches)
+    batch_max = jnp.max(levels)                       # -1 when take == 0
+    winner = ids[jnp.argmax(levels)]
+    new_entry = jnp.where(batch_max > graph.max_level, winner,
+                          graph.entry_point)
+    new_max = jnp.maximum(graph.max_level, batch_max)
+    new_ntotal = graph.ntotal + take
+    new_nupper = graph.n_upper + jnp.sum(slots >= 0, dtype=jnp.int32)
+    graph = graph._replace(entry_point=new_entry.astype(jnp.int32),
+                           max_level=new_max.astype(jnp.int32),
+                           ntotal=new_ntotal.astype(jnp.int32),
+                           n_upper=new_nupper.astype(jnp.int32))
+    return graph, vectors, sqnorms
+
+
 class DeviceBuilder:
     """Host orchestration for batched on-device construction.
 
@@ -273,17 +328,50 @@ class DeviceBuilder:
                       self.cfg.level_mult).astype(np.int32)
         return np.minimum(lv, self.cfg.max_level_cap)
 
-    def _get_step(self, ef_construction: int):
-        key = ef_construction
+    SCAN_CHUNK = 32  # full-size batches folded into ONE lax.scan dispatch
+
+    def _get_step(self, ef_construction: int, size: int):
+        """Single staged batch as one dispatch (growth phase / leftovers)."""
+        key = ("one", ef_construction, size)
         if key not in self._steps:
             self._steps[key] = jax.jit(
-                functools.partial(_insert_batch, cfg=self.cfg,
+                functools.partial(_insert_batch_staged, size=size,
+                                  cfg=self.cfg,
                                   ef_construction=ef_construction,
                                   intra_k=self.intra_k,
                                   r_window=self.r_window,
                                   n_expand=self.n_expand),
                 donate_argnums=(0, 1, 2),
             )
+        return self._steps[key]
+
+    def _get_scan(self, ef_construction: int, size: int):
+        """SCAN_CHUNK consecutive staged batches as ONE dispatch: the
+        steady-state build is a lax.scan over minibatches (a 'training
+        loop' in one executable — per-batch dispatch overhead vanishes)."""
+        key = ("scan", ef_construction, size)
+        if key not in self._steps:
+            body = functools.partial(_insert_batch_staged, size=size,
+                                     cfg=self.cfg,
+                                     ef_construction=ef_construction,
+                                     intra_k=self.intra_k,
+                                     r_window=self.r_window,
+                                     n_expand=self.n_expand)
+
+            def chunk(graph, vectors, sqnorms, xs, ids_s, lv_s, sl_s,
+                      offsets, takes):
+                def step(carry, ot):
+                    g, v, sq = carry
+                    g, v, sq = body(g, v, sq, xs, ids_s, lv_s, sl_s,
+                                    ot[0], ot[1])
+                    return (g, v, sq), ()
+
+                (graph, vectors, sqnorms), _ = jax.lax.scan(
+                    step, (graph, vectors, sqnorms),
+                    jnp.stack([offsets, takes], axis=1))
+                return graph, vectors, sqnorms
+
+            self._steps[key] = jax.jit(chunk, donate_argnums=(0, 1, 2))
         return self._steps[key]
 
     def _seed_first(self, graph: GraphArrays, vectors, sqnorms,
@@ -306,6 +394,55 @@ class DeviceBuilder:
             )
         return graph, vectors, sqnorms
 
+    def _plan(self, n0: int, n_upper: int, x: np.ndarray,
+              all_levels: np.ndarray):
+        """Precompute the ENTIRE insert schedule host-side: staged arrays in
+        batch order (level-sorted per batch, pads resolved) + per-batch
+        (offset, take, size). Deterministic given the seed — the device
+        recomputes the same entry/counter updates batch by batch."""
+        cfg = self.cfg
+        n = len(x)
+        # bucket-pad the staged length so repeated similar-size adds reuse
+        # compiled programs (jit keys on the staged shape)
+        n_staged = -(-(n + self.max_batch) // 16384) * 16384
+        x_sched = np.zeros((n_staged, x.shape[1]), np.float32)
+        ids_sched = np.full((n_staged,), cfg.capacity, np.int32)
+        lv_sched = np.full((n_staged,), -1, np.int32)
+        sl_sched = np.full((n_staged,), -1, np.int32)
+        batches = []  # (offset, take, size)
+        i = 0
+        while i < n:
+            # graph-size-bounded growth: batch never exceeds the current
+            # graph size class (early inserts need a dense-enough graph)
+            allowed = max(self.BATCH_SIZES[0], n0)
+            size = max(s for s in self.BATCH_SIZES
+                       if s <= max(allowed, self.BATCH_SIZES[0])
+                       and s <= self.max_batch)
+            take = min(n - i, size)
+            lv = all_levels[i:i + take]
+            # keep #upper points within the program's static slice (see
+            # upper_batch_cap): spill the batch tail in the freak case
+            cap_up = upper_batch_cap(size, cfg.m)
+            n_ups = np.cumsum(lv >= 1)
+            if take and n_ups[take - 1] > cap_up:
+                take = int(np.searchsorted(n_ups, cap_up, side="right"))
+                lv = lv[:take]
+            perm, pids = order_batch_by_level(lv, n0)
+            x_sched[i:i + take] = x[i:i + take][perm]
+            ids_sched[i:i + take] = pids
+            lv_sched[i:i + take] = lv[perm]
+            ups = np.flatnonzero(lv_sched[i:i + take] >= 1)
+            if n_upper + len(ups) > cfg.upper_capacity:
+                raise ValueError("upper_capacity exceeded; raise it in "
+                                 "HnswConfig")
+            sl_sched[i + ups] = np.arange(n_upper, n_upper + len(ups),
+                                          dtype=np.int32)
+            n_upper += len(ups)
+            batches.append((i, take, size))
+            n0 += take
+            i += take
+        return x_sched, ids_sched, lv_sched, sl_sched, batches
+
     def add(self, graph: GraphArrays, vectors, sqnorms, x: np.ndarray,
             *, ef_construction: int | None = None):
         cfg = self.cfg
@@ -313,8 +450,6 @@ class DeviceBuilder:
         x = np.ascontiguousarray(np.asarray(x, np.float32))
         n0 = int(graph.ntotal)
         n_upper = int(graph.n_upper)
-        max_level = int(graph.max_level)
-        entry = int(graph.entry_point)
 
         all_levels = self._draw_levels(len(x))
         i = 0
@@ -322,80 +457,61 @@ class DeviceBuilder:
             graph, vectors, sqnorms = self._seed_first(
                 graph, vectors, sqnorms, x[0], int(all_levels[0]))
             n0 = 1
-            max_level = int(all_levels[0])
-            entry = 0
             if all_levels[0] >= 1:
                 n_upper = 1
             i = 1
 
-        step = self._get_step(efc)
+        # ---- plan on host, stage ONCE on device (a single H2D transfer; the
+        # per-batch loop then ships two int32 scalars per dispatch)
+        xs_np, ids_np, lv_np, sl_np, batches = self._plan(
+            n0, n_upper, x[i:], all_levels[i:])
+        if not batches:
+            jax.block_until_ready(graph.neighbors0)
+            return graph, vectors, sqnorms
+        xs = jnp.asarray(xs_np)
+        ids_s = jnp.asarray(ids_np)
+        lv_s = jnp.asarray(lv_np)
+        sl_s = jnp.asarray(sl_np)
+
         t_start = time.time()
         last_log = t_start
-        batches_since_sync = 0
-        while i < len(x):
-            # bound async runahead: dispatching hundreds of batches ahead of
-            # the device destabilizes the runtime (observed wedges) and makes
-            # progress logs meaningless
-            if batches_since_sync >= 16:
-                jax.block_until_ready(graph.neighbors0)
-                batches_since_sync = 0
-            batches_since_sync += 1
+        done = 0
+
+        def log_progress():
+            nonlocal last_log
             if time.time() - last_log > 15:
-                rate = i / max(time.time() - t_start, 1e-9)
+                rate = done / max(time.time() - t_start, 1e-9)
                 logger.info("build progress: %d/%d inserted (%.0f/s)",
-                            i, len(x), rate)
+                            done, len(x), rate)
                 last_log = time.time()
-            # graph-size-bounded growth: batch never exceeds the current
-            # graph size class (early inserts need a dense-enough graph)
-            allowed = max(self.BATCH_SIZES[0], n0)
-            size = max(s for s in self.BATCH_SIZES
-                       if s <= max(allowed, self.BATCH_SIZES[0])
-                       and s <= self.max_batch)
-            take = min(len(x) - i, size)
-            lv = all_levels[i:i + take]
-            # keep #upper points within the program's static slice (see
-            # upper_batch_cap): spill the batch tail in the freak case
-            cap_up = upper_batch_cap(size, cfg.m)
-            n_ups = np.cumsum(lv >= 1)
-            if n_ups[-1] > cap_up:
-                take = int(np.searchsorted(n_ups, cap_up, side="right"))
-                lv = lv[:take]
-            perm, pids = order_batch_by_level(lv, n0)
-            xb = np.zeros((size, x.shape[1]), np.float32)
-            xb[:take] = x[i:i + take][perm]
-            ids = np.full((size,), cfg.capacity, np.int32)
-            ids[:take] = pids
-            levels = np.full((size,), -1, np.int32)
-            levels[:take] = lv[perm]
-            slots = np.full((size,), -1, np.int32)
-            ups = np.flatnonzero(levels >= 1)
-            if n_upper + len(ups) > cfg.upper_capacity:
-                raise ValueError("upper_capacity exceeded; raise it in "
-                                 "HnswConfig")
-            slots[ups] = np.arange(n_upper, n_upper + len(ups),
-                                   dtype=np.int32)
 
-            graph, vectors, sqnorms = step(
-                graph, vectors, sqnorms, jnp.asarray(xb), jnp.asarray(ids),
-                jnp.asarray(levels), jnp.asarray(slots))
-
-            n_upper += len(ups)
-            batch_max = int(levels[:take].max()) if take else -1
-            if batch_max > max_level:
-                winner = int(np.argmax(levels[:take]))
-                entry = int(ids[winner])
-                max_level = batch_max
-            n0 += take
-            i += take
-            # scalars must be fresh BEFORE the next batch's searches (the
-            # next batch descends from the current entry point)
-            i32 = jnp.int32
-            graph = graph._replace(
-                entry_point=jnp.asarray(entry, i32),
-                max_level=jnp.asarray(max_level, i32),
-                ntotal=jnp.asarray(n0, i32),
-                n_upper=jnp.asarray(n_upper, i32),
-            )
+        # ---- growth phase + any non-full batches: one dispatch each
+        bi = 0
+        while bi < len(batches):
+            off, take, size = batches[bi]
+            if size == self.max_batch and take == size and \
+                    len(batches) - bi >= self.SCAN_CHUNK and \
+                    all(b[2] == size and b[1] == size for b in
+                        batches[bi:bi + self.SCAN_CHUNK]):
+                # ---- steady state: SCAN_CHUNK batches in ONE dispatch
+                chunk = batches[bi:bi + self.SCAN_CHUNK]
+                offs = jnp.asarray([b[0] for b in chunk], jnp.int32)
+                takes = jnp.asarray([b[1] for b in chunk], jnp.int32)
+                graph, vectors, sqnorms = self._get_scan(efc, size)(
+                    graph, vectors, sqnorms, xs, ids_s, lv_s, sl_s,
+                    offs, takes)
+                done += sum(b[1] for b in chunk)
+                bi += self.SCAN_CHUNK
+                # natural sync point: bounds async runahead (observed wedges
+                # when hundreds of batches were dispatched ahead)
+                jax.block_until_ready(graph.entry_point)
+            else:
+                graph, vectors, sqnorms = self._get_step(efc, size)(
+                    graph, vectors, sqnorms, xs, ids_s, lv_s, sl_s,
+                    np.int32(off), np.int32(take))
+                done += take
+                bi += 1
+            log_progress()
         # jax dispatch is async: without this, add() returns while batches
         # are still executing and wall-clock accounting lands on the next
         # device sync instead (e.g. inside save or search)
