@@ -34,6 +34,7 @@ def pairwise_distances(queries: jax.Array, base: jax.Array, metric: str,
         queries, base,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     if metric == IP:
         return -dots

@@ -33,10 +33,12 @@ BIG = 1e30  # finite +inf stand-in: rides through one-hot matmuls NaN-free
 def pairwise_candidate_distances(vecs: jax.Array, metric: str) -> jax.Array:
     """[B, C, d] -> [B, C, C] true metric distances between candidates."""
     v = vecs.astype(jnp.float32)
-    dots = jnp.einsum("bid,bjd->bij", v, v, preferred_element_type=jnp.float32)
+    dots = jnp.einsum("bid,bjd->bij", v, v, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
     if metric == IP:
         return -dots
-    sq = jnp.einsum("bid,bid->bi", v, v, preferred_element_type=jnp.float32)
+    sq = jnp.einsum("bid,bid->bi", v, v, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
     return sq[:, :, None] + sq[:, None, :] - 2.0 * dots
 
 
@@ -80,11 +82,14 @@ def select_neighbors(
     O = permutation_onehot(rank, C)                         # [B, C, C] f32
     ids_f = cand_ids.astype(jnp.float32)                    # exact: id < 2^24
     ids_s = jnp.einsum("brj,bj->br", O, ids_f,
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
     dist_s = jnp.einsum("brj,bj->br", O, key,
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
     vecs_s = jnp.einsum("brj,bjd->brd", O, cand_vecs.astype(jnp.float32),
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
 
     pair = pairwise_candidate_distances(vecs_s, metric)     # [B, C, C]
     valid_s = dist_s < BIG / 2
@@ -108,14 +113,17 @@ def select_neighbors(
     rank2 = jnp.cumsum(kept.astype(jnp.int32), axis=1) - 1  # [B, C]
     comp = permutation_onehot(jnp.where(kept, rank2, -1), m)  # [B, m, C]
     out_f = jnp.einsum("bsr,br->bs", comp, ids_s,
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
     has = jnp.einsum("bsr,br->bs", comp, kept.astype(jnp.float32),
-                     preferred_element_type=jnp.float32) > 0.5
+                     preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST) > 0.5
     out = jnp.where(has, out_f.astype(jnp.int32), -1)
 
     # --- un-sort kept back to the caller's candidate order (matmul again)
     kept_orig = jnp.einsum("brj,br->bj", O, kept.astype(jnp.float32),
-                           preferred_element_type=jnp.float32) > 0.5
+                           preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST) > 0.5
     return out, kept_orig
 
 
@@ -127,7 +135,9 @@ def compact_append(cand_ids: jax.Array, width: int) -> jax.Array:
     rank = jnp.cumsum(cv.astype(jnp.int32), axis=1) - 1
     one = permutation_onehot(jnp.where(cv, rank, -1), width)  # [B, width, C]
     out_f = jnp.einsum("bwc,bc->bw", one, cand_ids.astype(jnp.float32),
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
     has = jnp.einsum("bwc,bc->bw", one, cv.astype(jnp.float32),
-                     preferred_element_type=jnp.float32) > 0.5
+                     preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST) > 0.5
     return jnp.where(has, out_f.astype(jnp.int32), -1)

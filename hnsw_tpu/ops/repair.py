@@ -113,11 +113,13 @@ def apply_backlinks(
         dvec = vectors[dst_c].astype(jnp.float32)               # [C, d]
         cvec = vectors[jnp.maximum(ids_c, 0)].astype(jnp.float32)
         dots = jnp.einsum("pd,pcd->pc", dvec, cvec,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
         if metric == L2:
             dsq = jnp.sum(dvec * dvec, axis=1, keepdims=True)
             csq = jnp.einsum("pcd,pcd->pc", cvec, cvec,
-                             preferred_element_type=jnp.float32)
+                             preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
             cd = dsq + csq - 2.0 * dots
         else:
             cd = -dots

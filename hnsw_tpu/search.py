@@ -47,11 +47,13 @@ def _make_distance_fn(vectors: jax.Array, sqnorms: jax.Array, queries: jax.Array
         ids_safe = jnp.where(mask, ids, 0)
         vecs = vectors[ids_safe].astype(jnp.float32)          # [Q, K, d]
         dots = jnp.einsum("qd,qkd->qk", qf, vecs,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
         if metric == IP:
             return -dots
         sq = jnp.einsum("qkd,qkd->qk", vecs, vecs,
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
         return sq - 2.0 * dots
 
     return distance_to
@@ -104,11 +106,14 @@ def greedy_descend(graph: GraphArrays, distance_to, entry: jax.Array,
     return cur, curd
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("k", "ef_search", "metric", "max_level_cap", "max_hops",
-                     "n_expand", "with_stats", "visited_mode"),
-)
+def ef_bucket(ef: int) -> int:
+    """Compiled beam-buffer width for a requested efSearch: the next power of
+    two >= ef (min 32). efSearch is a RUNTIME scalar within a bucket — faiss
+    mutable ``efSearch`` semantics with no recompile (one program per bucket,
+    position-masked tail; see ops/beam.py ef_live)."""
+    return max(32, 1 << (int(ef) - 1).bit_length())
+
+
 def hnsw_search(
     graph: GraphArrays,
     vectors: jax.Array,
@@ -133,8 +138,42 @@ def hnsw_search(
     SearchParametersHNSW/IDSelector parity: the graph is traversed
     unfiltered (disallowed nodes still route), but only selector-approved
     ids are returned. At high filter rates raise ef_search to keep k results
-    (same guidance as faiss)."""
-    ef = max(ef_search, k)
+    (same guidance as faiss).
+
+    ``ef_search`` is a runtime knob: programs compile per power-of-two
+    bucket (ef_bucket), so sweeping ef or changing it per call in serving
+    does not recompile within a bucket."""
+    ef = max(int(ef_search), k)
+    return _hnsw_search(
+        graph, vectors, sqnorms, queries, jnp.asarray(ef, jnp.int32),
+        k=k, ef_buf=ef_bucket(ef), metric=metric,
+        max_level_cap=max_level_cap, max_hops=max_hops, n_expand=n_expand,
+        with_stats=with_stats, visited_mode=visited_mode, allowed=allowed)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "ef_buf", "metric", "max_level_cap", "max_hops",
+                     "n_expand", "with_stats", "visited_mode"),
+)
+def _hnsw_search(
+    graph: GraphArrays,
+    vectors: jax.Array,
+    sqnorms: jax.Array,
+    queries: jax.Array,
+    ef_live: jax.Array,
+    *,
+    k: int,
+    ef_buf: int,
+    metric: str = L2,
+    max_level_cap: int = 6,
+    max_hops: int = 0,
+    n_expand: int = 1,
+    with_stats: bool = False,
+    visited_mode: str = "buffer",
+    allowed: jax.Array | None = None,
+):
+    ef = ef_buf
     if max_hops <= 0:
         # every hop expands >=1 buffer entry; entries only leave the buffer by
         # being displaced, so 4*ef + 16 comfortably over-covers convergence
@@ -164,7 +203,8 @@ def hnsw_search(
 
     state = beam_ops.beam_search(state, gather_l0, distance_to,
                                  max_hops=max_hops, n_expand=n_expand,
-                                 visited_mode=visited_mode, allowed=allowed)
+                                 visited_mode=visited_mode, allowed=allowed,
+                                 ef_live=ef_live)
 
     # --- top-k extraction (buffer is already sorted ascending)
     if allowed is not None:
