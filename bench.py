@@ -3,19 +3,31 @@ real chip, sweep efSearch for the recall@10 >= 0.95 operating point, report
 QPS there.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": QPS, "unit": "qps@recall0.95", "vs_baseline": r}
+  {"metric": ..., "value": QPS, "unit": "qps", "vs_baseline": r}
 
 vs_baseline = our QPS / single-core CPU HNSW QPS at the same recall on the
 same data (BASELINE.json north star: >=10x faiss single-core per chip). The
 CPU baseline is the bundled C++ single-core engine (hnsw_tpu/native) when
-built, else faiss-cpu if importable, else the driver-recorded nominal.
+built, else faiss-cpu if importable, else None.
+
+Robustness (round-1 lesson: a degraded tunnel recorded 1.117x where a clean
+rerun measured 7x): every sweep point is best-of-BENCH_REPS synced reps, and
+an environment self-diagnostic (device kind, gather Mrows/s, H2D MB/s,
+per-dispatch sync ms) is embedded in the detail line so a degraded
+environment is VISIBLE in the artifact instead of silently recorded. If the
+probe detects a badly degraded environment the workload downsizes and says
+so.
 
 Env knobs:
-  BENCH_N       database size        (default 100_000)
+  BENCH_N       database size        (default 1_000_000 — the north-star
+                config, BASELINE.json; auto-downsized to 100_000 if the
+                environment probe fails thresholds)
   BENCH_D       dimensionality       (default 128; SIFT-shaped)
   BENCH_Q       query count          (default 8192)
   BENCH_M       HNSW M               (default 32)
   BENCH_EFC     efConstruction       (default 100)
+  BENCH_REPS    timing reps per sweep point (default 3, best-of)
+  BENCH_CPU_N   CPU-baseline build size (default = BENCH_N)
   BENCH_DATASET named eval config (sift10k/sift1m/gist1m/glove100) overrides
                 N/D and uses real files under $HNSW_TPU_DATA when present
 """
@@ -38,6 +50,51 @@ def _log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _sync_fetch(x):
+    """Force completion honestly: fetch ONE element D2H. (block_until_ready
+    alone under-reports on the tunneled axon backend.)"""
+    import jax
+    return np.asarray(jax.tree.leaves(x)[0]).ravel()[:1]
+
+
+def env_diagnostic():
+    """Measure the environment the bench is about to trust."""
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.default_rng(0)
+    info = {"device": str(jax.devices()[0]),
+            "n_devices": len(jax.devices())}
+
+    f = jax.jit(lambda a: a + 1)
+    z = jnp.zeros((8, 128))
+    _sync_fetch(f(z))
+    t0 = time.time()
+    for _ in range(5):
+        _sync_fetch(f(z))
+    sync_s = (time.time() - t0) / 5
+    info["sync_ms"] = round(sync_s * 1e3, 2)
+
+    x = rng.normal(size=(2048, 512)).astype(np.float32)  # 4 MB
+    jax.block_until_ready(jnp.asarray(x))
+    t0 = time.time()
+    for _ in range(3):
+        jax.block_until_ready(jnp.asarray(x))
+    info["h2d_MBps"] = round(x.nbytes / ((time.time() - t0) / 3) / 1e6, 1)
+
+    cap, ng = 1 << 18, 1 << 21
+    tab = jnp.asarray(rng.normal(size=(cap, 128)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, cap, size=(ng,), dtype=np.int32))
+    g = jax.jit(lambda t, i: jnp.sum(t[i], axis=0))
+    _sync_fetch(g(tab, ids))
+    t0 = time.time()
+    for _ in range(3):
+        _sync_fetch(g(tab, ids))
+    dt = max((time.time() - t0) / 3 - sync_s, 1e-9)
+    info["gather_Mrows_s"] = round(ng / dt / 1e6, 1)
+    del tab, ids
+    return info
+
+
 def main():
     import jax
     try:  # persistent compile cache: repeated bench runs skip the big builds
@@ -51,12 +108,27 @@ def main():
     import hnsw_tpu
     from hnsw_tpu.utils.datasets import load_eval_workload, synthetic_workload
     from hnsw_tpu.utils.recall import recall_at_k
+    from hnsw_tpu.utils.stats import HnswStats
 
-    n = int(os.environ.get("BENCH_N", 100_000))
+    env = env_diagnostic()
+    _log(f"[bench] environment: {json.dumps(env)}")
+
+    n = int(os.environ.get("BENCH_N", 1_000_000))
+    downsized = None
+    if "BENCH_N" not in os.environ and (
+            env["gather_Mrows_s"] < 20 or env["h2d_MBps"] < 5
+            or env["sync_ms"] > 500):
+        downsized = (f"environment probe failed thresholds "
+                     f"(gather={env['gather_Mrows_s']} Mrows/s, "
+                     f"h2d={env['h2d_MBps']} MB/s, sync={env['sync_ms']} ms)"
+                     f" -> downsized to 100k")
+        _log(f"[bench] WARNING: {downsized}")
+        n = 100_000
     d = int(os.environ.get("BENCH_D", 128))
     nq = int(os.environ.get("BENCH_Q", 8192))
     m = int(os.environ.get("BENCH_M", 32))
     efc = int(os.environ.get("BENCH_EFC", 100))
+    reps = int(os.environ.get("BENCH_REPS", 3))
     dataset = os.environ.get("BENCH_DATASET", "")
     target_recall = float(os.environ.get("BENCH_TARGET_RECALL", 0.95))
 
@@ -90,28 +162,47 @@ def main():
         _log(f"[bench] brute-force GT: {time.time()-t0:.1f}s")
 
     # ---- efSearch sweep: find the cheapest ef reaching the target recall.
-    # Queries are staged on device once: production hosts pay ~0.1ms H2D for
-    # a batch like this; this environment's tunneled TPU would otherwise add
-    # ~100ms/call of transfer artifact.
+    # Queries staged on device once; results stay on device during timing
+    # (the tunneled D2H of a [8192, 10] result would dominate honest timing);
+    # ids are fetched ONCE per point for recall, outside the timed reps.
     queries_dev = jnp.asarray(np.asarray(queries, np.float32))
     results = []
     chosen = None
     for ef in (16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512):
-        dd, ii = idx.search(queries_dev, k=10, ef_search=ef)  # compile+run
-        t0 = time.time()
-        dd, ii = idx.search(queries_dev, k=10, ef_search=ef)
-        dt = time.time() - t0
-        r = recall_at_k(ii, gt, 10)
+        dd, ii = idx.search(queries_dev, k=10, ef_search=ef,
+                            device_out=True)  # compile+warm
+        _sync_fetch(ii)
+        times = []
+        for _ in range(max(reps, 1)):
+            t0 = time.time()
+            dd, ii = idx.search(queries_dev, k=10, ef_search=ef,
+                                device_out=True)
+            _sync_fetch(ii)
+            times.append(time.time() - t0)
+        dt = min(times)
+        r = recall_at_k(np.asarray(ii), gt, 10)
         qps = len(queries) / dt
         results.append({"ef": ef, "recall@10": round(r, 4),
-                        "qps": round(qps, 1)})
-        _log(f"[bench] ef={ef:4d} recall@10={r:.4f} qps={qps:,.0f}")
+                        "qps": round(qps, 1),
+                        "reps_ms": [round(t * 1e3, 1) for t in times]})
+        _log(f"[bench] ef={ef:4d} recall@10={r:.4f} qps={qps:,.0f} "
+             f"(best of {len(times)})")
         if r >= target_recall and chosen is None:
             chosen = results[-1]
         if r >= max(0.999, target_recall):
             break
     if chosen is None:
         chosen = results[-1]  # best effort: report the frontier end
+
+    # ---- hnsw_stats at the operating point (ndis/hops, faiss parity)
+    stats = HnswStats()
+    t0 = time.time()
+    _, ii, st = idx.search(queries_dev, k=10, ef_search=chosen["ef"],
+                           with_stats=True)
+    stats.accumulate(len(queries), st, wall=time.time() - t0)
+    stat_summary = stats.summary()
+    _log(f"[bench] stats@op: ndis/query={stat_summary['ndis_per_query']:.0f} "
+         f"hops/batch={stat_summary['hops_per_batch']:.0f}")
 
     # ---- CPU single-core baseline at (close to) the same recall
     base_qps, base_src = _cpu_baseline_qps(base, queries, gt, wl.metric, m,
@@ -127,7 +218,13 @@ def main():
     }
     extra = {
         "recall_at_op": chosen["recall@10"], "ef_at_op": chosen["ef"],
-        "build_seconds": round(build_s, 1), "sweep": results,
+        "build_seconds": round(build_s, 1),
+        "build_inserts_per_s": round(n / build_s, 1),
+        "timing": f"best-of-{reps}, device-resident results, fetch-synced",
+        "environment": env, "downsized": downsized,
+        "ndis_per_query": round(stat_summary["ndis_per_query"], 1),
+        "hops_per_batch": round(stat_summary["hops_per_batch"], 1),
+        "sweep": results,
         "baseline_qps": base_qps, "baseline_source": base_src,
         "n": n, "d": d, "batch": len(queries),
     }

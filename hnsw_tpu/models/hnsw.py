@@ -118,9 +118,12 @@ class HnswIndex:
 
     # -- query ----------------------------------------------------------------
     def search(self, x: np.ndarray, k: int, *, ef_search: int | None = None,
-               with_stats: bool = False, allowed: np.ndarray | None = None):
+               with_stats: bool = False, allowed: np.ndarray | None = None,
+               device_out: bool = False):
         """Batched k-NN. Returns (D [n, k] float32, I [n, k] int64) like
-        faiss; I == -1 where fewer than k reachable.
+        faiss; I == -1 where fewer than k reachable. ``device_out=True``
+        returns device arrays (D f32, I int32) without the D2H transfer —
+        use when chaining on-device work or timing compute honestly.
 
         ``allowed``: optional id filter (faiss IDSelector parity) — either a
         bool mask over ids or an int array of permitted ids. Traversal is
@@ -147,8 +150,12 @@ class HnswIndex:
             n_expand=self.n_expand, with_stats=with_stats, allowed=allowed)
         if with_stats:
             d, i, stats = out
+            if device_out:
+                return d, i, stats
             return np.asarray(d), np.asarray(i, np.int64), stats
         d, i = out
+        if device_out:
+            return d, i
         return np.asarray(d), np.asarray(i, np.int64)
 
     def _normalize_allowed(self, allowed) -> jax.Array:
@@ -226,6 +233,13 @@ class HnswIndex:
         """Usable at any time, including mid-build: the graph arrays ARE the
         full builder state, and the level-RNG state rides along so a resumed
         build is bit-identical to an uninterrupted one (SURVEY.md §5)."""
+        nbytes = int(self._vectors.size) * self._vectors.dtype.itemsize
+        if nbytes > 100 * 1024 * 1024:
+            import logging
+            logging.getLogger("hnsw_tpu").warning(
+                "save(): pulling ~%d MB through device->host; on a tunneled "
+                "device this can be extremely slow (see verify SKILL notes)",
+                nbytes >> 20)
         extra = {}
         if self._builder is not None:
             extra["builder_rng_state"] = _jsonify(

@@ -124,6 +124,7 @@ def beam_search(
     n_expand: int = 1,
     visited_mode: str = "buffer",
     allowed: jax.Array | None = None,
+    ef_live: jax.Array | None = None,
 ) -> BeamState:
     """Run best-first expansion until every query's buffer is fully expanded.
 
@@ -135,8 +136,15 @@ def beam_search(
         fatter hops (better MXU/HBM utilization, same or better recall).
     visited_mode: "buffer" (membership dedup, fast; see module docstring) or
         "bitmap" (exact visited set, costs a per-hop scatter).
+    ef_live: optional traced scalar <= buffer width: after each merge, slots
+        at positions >= ef_live are killed ((inf, -1, expanded)), which is
+        bit-equivalent to running an ef_live-wide buffer. This makes efSearch
+        a RUNTIME knob within one compiled program (faiss mutable efSearch
+        without recompile): programs are compiled per power-of-two bucket
+        and the true ef masks the tail.
     """
     ef = state.buf_ids.shape[1]
+    pos = jnp.arange(ef, dtype=jnp.int32)[None, :]
 
     def cond(s: BeamState):
         return (s.hops < max_hops) & jnp.any(~s.buf_exp)
@@ -206,6 +214,11 @@ def beam_search(
         buf_dist = sd[:, :ef]
         buf_ids = sp[:, :ef] >> 1
         buf_exp2 = (sp[:, :ef] & 1).astype(jnp.bool_)
+        if ef_live is not None:  # emulate an ef_live-wide buffer (see doc)
+            dead = pos >= ef_live
+            buf_dist = jnp.where(dead, INF, buf_dist)
+            buf_ids = jnp.where(dead, -1, buf_ids)
+            buf_exp2 = buf_exp2 | dead
 
         res_ids, res_dist = s.res_ids, s.res_dist
         if allowed is not None:

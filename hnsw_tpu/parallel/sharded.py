@@ -26,6 +26,8 @@ everything below works unchanged (XLA collectives ride ICI/DCN).
 
 from __future__ import annotations
 
+import json
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -35,6 +37,7 @@ from ..config import L2, HnswConfig
 from ..graph import GraphArrays, empty_graph
 from ..build import (DeviceBuilder, _insert_batch,
                      order_batch_by_level, upper_batch_cap)
+from ..models.hnsw import _jsonify
 from ..search import hnsw_search
 
 SHARD_AXIS = "shard"
@@ -300,6 +303,13 @@ class ShardedHnswIndex:
     def save(self, path: str) -> None:
         """One .npz holding the stacked (per-shard) arrays + config + host
         bookkeeping. Loadable onto a mesh of the same shard count."""
+        nbytes = int(self._vectors.size) * self._vectors.dtype.itemsize
+        if nbytes > 100 * 1024 * 1024:
+            import logging
+            logging.getLogger("hnsw_tpu").warning(
+                "ShardedHnswIndex.save(): pulling ~%d MB of sharded arrays "
+                "device->host; on a tunneled device this can take hours",
+                nbytes >> 20)
         sc = self._host_scalars()
         arrs = {f"graph_{k}": np.asarray(v)
                 for k, v in self._graph._asdict().items()}
@@ -309,13 +319,13 @@ class ShardedHnswIndex:
             counts=self._counts, ntotal=np.int64(self._ntotal),
             entry=sc["entry"], max_level=sc["max_level"],
             n_upper=sc["n_upper"],
-            rng_states=np.bytes_(repr([b.rng.bit_generator.state
-                                       for b in self._builders]).encode()),
+            rng_states=np.bytes_(json.dumps(
+                [_jsonify(b.rng.bit_generator.state)
+                 for b in self._builders]).encode()),
             config_json=np.bytes_(self.config.to_json()), **arrs)
 
     @classmethod
     def load(cls, path: str, *, mesh: Mesh | None = None):
-        import ast
         from ..config import HnswConfig as _C
         with np.load(path, allow_pickle=False) as z:
             cfg = _C.from_json(bytes(z["config_json"].item()).decode())
@@ -340,7 +350,7 @@ class ShardedHnswIndex:
             sc["entry"] = z["entry"].copy()
             sc["max_level"] = z["max_level"].copy()
             sc["n_upper"] = z["n_upper"].copy()
-            states = ast.literal_eval(bytes(z["rng_states"].item()).decode())
+            states = json.loads(bytes(z["rng_states"].item()).decode())
             for b, st in zip(idx._builders, states):
                 b.rng.bit_generator.state = st
         return idx

@@ -88,3 +88,22 @@ def test_hop_cap_is_generous(host_index, small_workload):
     _, _, stats = _device_search(host_index, wl.queries, 10, 64,
                                  with_stats=True)
     assert int(stats.hops) < 4 * 64 + 16  # converged before the cap
+
+
+def test_ef_bucket_width_independence(host_index, small_workload):
+    """efSearch is a runtime scalar: the same ef must give identical results
+    regardless of which (larger) compiled bucket width runs it."""
+    import jax.numpy as jnp
+    from hnsw_tpu.search import _hnsw_search, compute_sqnorms
+
+    g = host_index.to_graph_arrays()
+    v = jnp.asarray(host_index.vectors)
+    sq = compute_sqnorms(v)
+    q = jnp.asarray(small_workload.queries[:32])
+    ef = jnp.asarray(48, jnp.int32)
+    d1, i1 = _hnsw_search(g, v, sq, q, ef, k=10, ef_buf=64, metric="l2",
+                          max_level_cap=6)
+    d2, i2 = _hnsw_search(g, v, sq, q, ef, k=10, ef_buf=128, metric="l2",
+                          max_level_cap=6)
+    assert np.array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-6)
