@@ -1,28 +1,28 @@
-"""Pallas fused hop kernel (SURVEY.md §2b C5, §2c): neighbor-row fetch +
-vector gather + batched distance in ONE kernel.
+"""Pallas fused gather+distance kernel — the flag-gated alternative to the
+XLA hop distance op (SURVEY.md §2c "fused hop kernel").
 
-Why: the level-0 beam hop is the dominant query cost. In pure XLA it is
-  cur -> gather neighbor ids      (materializes [Q, K] from HBM)
-  ids -> gather vectors           (materializes [Q, K, d] = 100s of MB)
-  einsum                          (re-reads those 100s of MB)
-The gathered vectors make a full HBM round-trip. This kernel instead streams
-each query's K neighbor rows HBM->VMEM with double-buffered async DMAs and
-reduces them to distances in VMEM, writing only [Q, K] ids + distances back
-(~100x less traffic than the XLA path's intermediates).
+STATUS (measured, TPU v5e, 2026-08; see ARCHITECTURE.md "gather roofline"):
+the XLA path WINS and is the default. The hop op is bound by HBM row-fetch
+TRANSACTIONS, not bytes: XLA's gather engine sustains ~90-95M 512B-row
+fetches/s (~48 GB/s at d=128 f32, vs ~700 GB/s streaming), and the rate is
+nearly independent of row width or dtype. This kernel — the batched-
+descriptor redesign of round-1's per-query sequential version: a block of
+queries per program, all BLOCK_Q*K row DMAs issued back-to-back, compute
+overlapped via double buffering — reaches ~36M rows/s: each
+`make_async_copy` descriptor costs ~28ns of scalar-core issue + DMA setup,
+so per-row DMA cannot beat the dedicated gather hardware. Fusing the
+distance reduction into the kernel saves only the [Q, K, d] intermediate's
+HBM round-trip (~10% of hop cost), nowhere near the 2.5x descriptor-rate
+deficit.
 
-Distance convention matches hnsw_tpu.search: L2 surrogate ||x||^2 - 2 q·x
-(the ||x||^2 term is computed in-kernel from the gathered row, saving a
-second scattered gather of sqnorms), or -q·x for inner product.
+Kept wired behind ``HnswConfig``-independent opt-in (``use_pallas_hop=True``
+on ``fused_gather_distances`` callers, or env ``HNSW_TPU_PALLAS_HOP=1`` for
+``hnsw_tpu.search``) with a parity test (tests/test_hop_kernel.py) so the
+comparison stays honest as compilers/hardware move.
 
-TPU constraints shape the layout: HBM->VMEM DMA slices must be 128-lane
-aligned, so the adjacency table is viewed as [N*K/128, 128] ("folded": each
-128-lane row holds `fold = 128//K` nodes' lists) and the wanted K-slice is
-selected statically after the copy. Vector rows must have d % 128 == 0 — the
-caller pads storage (see HnswIndex._maybe_pad).
-
-Grid: one program per QB-query block. Per query: 1 DMA for its adjacency row,
-K row DMAs for neighbor vectors, VPU multiply-reduce; DMAs for query i+1 are
-issued while query i computes.
+Distance convention matches hnsw_tpu.search: L2 surrogate ||x||^2 - 2 q.x,
+or -q.x for inner product. Requires d % 128 == 0 (DMA lane alignment) —
+callers fall back to XLA otherwise.
 """
 
 from __future__ import annotations
@@ -34,141 +34,90 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..config import L2
+from ..config import IP, L2
 
 LANES = 128
+BLOCK_Q = 8   # queries per program instance
+NBUF = 2      # double buffer: block q+1's DMAs fly while q computes
 
 
-def _hop_kernel(cur_ref, q_ref, adj_hbm, vec_hbm, nbrs_out, dist_out,
-                adj_scr, vec_scr, adj_sem, vec_sem, *, K, D, QB, fold,
-                metric):
-    """adj_hbm folded [N*K/128, 128]; adj_scr [2, 1, 128]; vec_scr [2, K, D]."""
+def _kernel(ids_smem, q_ref, vec_hbm, dist_ref, vec_scr, sems, *, K, D,
+            metric):
+    """One program = BLOCK_Q queries.
 
-    def adj_copy(slot, qi):
-        node = cur_ref[qi, 0]
-        return pltpu.make_async_copy(
-            adj_hbm.at[pl.ds(node // fold, 1), :],
-            adj_scr.at[slot], adj_sem.at[slot])
+    ids_smem: SMEM [BLOCK_Q * K] (scalar-prefetched slice, see index_map)
+    q_ref:    VMEM [BLOCK_Q, D] queries
+    vec_hbm:  ANY  [capacity, D] vector table
+    dist_ref: VMEM [BLOCK_Q, K] output distances
+    vec_scr:  VMEM [NBUF, K, D] gathered rows, double buffered
+    sems:     DMA  [NBUF, K]
+    """
+    blk = pl.program_id(0)
+    base = blk * BLOCK_Q * K
 
-    def adj_row(slot, qi):
-        """K neighbor ids of query qi from the folded 128-lane row."""
-        node = cur_ref[qi, 0]
-        full = adj_scr[slot, 0, :]                       # [128]
-        if fold == 1:
-            return full
-        # static halves/quarters; select by node % fold
-        parts = [full[i * K:(i + 1) * K] for i in range(fold)]
-        sel = parts[0]
-        for i in range(1, fold):
-            sel = jnp.where(node % fold == i, parts[i], sel)
-        return sel
-
-    def start_rows(slot, qi):
-        ids = adj_row(slot, qi)
-        for j in range(K):
-            nid = jnp.maximum(ids[j], 0)
+    def start_row_dmas(qi, slot):
+        for k in range(K):
             pltpu.make_async_copy(
-                vec_hbm.at[pl.ds(nid, 1), :],
-                vec_scr.at[slot, pl.ds(j, 1), :],
-                vec_sem.at[slot, j]).start()
+                vec_hbm.at[ids_smem[base + qi * K + k]],
+                vec_scr.at[slot, k], sems.at[slot, k]).start()
 
-    def wait_rows(slot, qi):
-        # descriptors must match start_rows; adj_scr[slot] is still intact
-        ids = adj_row(slot, qi)
-        for j in range(K):
-            nid = jnp.maximum(ids[j], 0)
+    def wait_row_dmas(qi, slot):
+        for k in range(K):
             pltpu.make_async_copy(
-                vec_hbm.at[pl.ds(nid, 1), :],
-                vec_scr.at[slot, pl.ds(j, 1), :],
-                vec_sem.at[slot, j]).wait()
+                vec_hbm.at[ids_smem[base + qi * K + k]],
+                vec_scr.at[slot, k], sems.at[slot, k]).wait()
 
-    # prologue: adjacency row 0 -> its vector rows; adjacency row 1 in flight
-    adj_copy(0, 0).start()
-    adj_copy(0, 0).wait()
-    start_rows(0, 0)
-
-    @pl.when(QB > 1)
-    def _():
-        adj_copy(1, 1).start()
-
-    def body(qi, _):
-        slot = jax.lax.rem(qi, 2)
-        nxt = jax.lax.rem(qi + 1, 2)
-
-        # adjacency for qi+1 is in flight; finish it and launch its vector
-        # rows so they overlap with qi's compute
-        @pl.when(qi + 1 < QB)
-        def _():
-            adj_copy(nxt, qi + 1).wait()
-            start_rows(nxt, qi + 1)
-
-        wait_rows(slot, qi)
-        ids = adj_row(slot, qi)                    # [K]
-        rows = vec_scr[slot]                       # [K, D] f32
-        q = q_ref[qi, :]                           # [D]
-        dots = jnp.sum(rows * q[None, :], axis=1)  # [K] VPU reduce
-        if metric == L2:
-            sq = jnp.sum(rows * rows, axis=1)
-            dist = sq - 2.0 * dots
+    start_row_dmas(0, 0)
+    for qi in range(BLOCK_Q):
+        if qi + 1 < BLOCK_Q:
+            start_row_dmas(qi + 1, (qi + 1) % NBUF)
+        wait_row_dmas(qi, qi % NBUF)
+        rows = vec_scr[qi % NBUF]                     # [K, D]
+        q = q_ref[qi, :]                              # [D]
+        dots = jnp.sum(rows * q[None, :], axis=1)     # VPU reduce, [K]
+        if metric == IP:
+            dist_ref[qi, :] = -dots
         else:
-            dist = -dots
-        nbrs_out[qi, :] = ids
-        dist_out[qi, :] = dist
-
-        # adj_scr[slot] is free only now (ids consumed); prefetch qi+2
-        @pl.when(qi + 2 < QB)
-        def _():
-            adj_copy(slot, qi + 2).start()
-
-        return 0
-
-    jax.lax.fori_loop(0, QB, body, 0)
+            sq = jnp.sum(rows * rows, axis=1)
+            dist_ref[qi, :] = sq - 2.0 * dots
 
 
-@functools.partial(jax.jit, static_argnames=("metric", "qb"))
-def fused_hop_distances(cur: jax.Array, queries: jax.Array,
-                        adjacency: jax.Array, vectors: jax.Array,
-                        *, metric: str = L2, qb: int = 64):
-    """cur [Q] int32 (node per query; must be >= 0, use 0 for masked),
-    queries [Q, D] f32, adjacency [N, K] int32 (K power of two <= 128),
-    vectors [N, D] f32 with D % 128 == 0 and ||N*K % 128 == 0.
-    Returns (nbrs [Q, K] int32, dists [Q, K] f32 surrogate, unmasked)."""
-    Q, D = queries.shape
-    N, K = adjacency.shape
-    assert D % LANES == 0, f"vector dim {D} must be padded to 128"
-    assert LANES % K == 0 or K % LANES == 0, K
-    fold = max(1, LANES // K)
-    assert (N * K) % LANES == 0
-    assert Q % qb == 0, (Q, qb)
-    adj_folded = adjacency.reshape(-1, LANES) if fold > 1 else adjacency
-    grid = (Q // qb,)
+@functools.partial(jax.jit, static_argnames=("metric", "interpret"))
+def fused_gather_distances(vectors: jax.Array, ids: jax.Array,
+                           queries: jax.Array, metric: str = L2,
+                           interpret: bool = False) -> jax.Array:
+    """[capacity, d] x [Q, K] ids x [Q, d] queries -> [Q, K] distances.
 
-    kernel = functools.partial(_hop_kernel, K=K, D=D, QB=qb, fold=fold,
-                               metric=metric)
-    nbrs, dists = pl.pallas_call(
-        kernel,
-        grid=grid,
+    Out-of-range / negative ids are clamped to row 0 (callers mask the
+    result, same contract as the XLA path). Q must be a multiple of
+    BLOCK_Q and d a multiple of 128; callers pad or fall back.
+    """
+    Q, K = ids.shape
+    D = vectors.shape[1]
+    if Q % BLOCK_Q or D % LANES:
+        raise ValueError(f"need Q % {BLOCK_Q} == 0 and d % {LANES} == 0, "
+                         f"got Q={Q}, d={D}")
+    ids_flat = jnp.clip(ids, 0, vectors.shape[0] - 1).reshape(-1)
+    qf = queries.astype(jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Q // BLOCK_Q,),
         in_specs=[
-            pl.BlockSpec((qb, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),        # cur ids
-            pl.BlockSpec((qb, D), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),        # queries
-            pl.BlockSpec(memory_space=pltpu.ANY),         # adjacency (HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),         # vectors (HBM)
+            pl.BlockSpec((BLOCK_Q, D), lambda i, ids: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=[
-            pl.BlockSpec((qb, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((qb, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((Q, K), jnp.int32),
-            jax.ShapeDtypeStruct((Q, K), jnp.float32),
-        ],
+        out_specs=pl.BlockSpec((BLOCK_Q, K), lambda i, ids: (i, 0),
+                               memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, 1, LANES), jnp.int32),
-            pltpu.VMEM((2, K, D), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2, K)),
+            pltpu.VMEM((NBUF, K, D), jnp.float32),
+            pltpu.SemaphoreType.DMA((NBUF, K)),
         ],
-    )(cur[:, None], queries, adj_folded, vectors)
-    return nbrs, dists
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel, K=K, D=D, metric=metric),
+        out_shape=jax.ShapeDtypeStruct((Q, K), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(ids_flat, qf, vectors.astype(jnp.float32))

@@ -29,19 +29,47 @@ class SearchStats(NamedTuple):
     ndis: jax.Array  # int32 [Q] distance computations per query (hnsw_stats.ndis)
 
 
+def _use_pallas_hop() -> bool:
+    import os
+    return os.environ.get("HNSW_TPU_PALLAS_HOP", "") == "1"
+
+
 def _make_distance_fn(vectors: jax.Array, sqnorms: jax.Array, queries: jax.Array,
-                      metric: str):
+                      metric: str, pallas_hop: bool = False):
     """Returns distance_to(ids [Q, K], mask) -> [Q, K] surrogate distances.
 
     The gather + dot is the bandwidth-critical op (SURVEY.md §7 hard-part 3):
     neighbor vectors are gathered from HBM and hit the MXU as a [Q, K, d] x
-    [Q, d] batched contraction.
+    [Q, d] batched contraction. XLA's gather engine is the measured winner
+    for the row fetch (ARCHITECTURE.md "gather roofline"); the Pallas fused
+    kernel alternative stays available behind HNSW_TPU_PALLAS_HOP=1 so the
+    comparison stays honest.
     """
     qf = queries.astype(jnp.float32)
 
     del sqnorms  # ||x||^2 is recomputed from the gathered rows: a VPU
     # reduction over data already in registers is free next to the cost of a
     # second [Q, K] scattered gather
+
+    if pallas_hop and vectors.shape[1] % 128 == 0:
+        from .ops.hop_kernel import BLOCK_Q, fused_gather_distances
+
+        def distance_to(ids: jax.Array, mask: jax.Array) -> jax.Array:
+            ids_safe = jnp.where(mask, ids, 0)
+            Q, K = ids_safe.shape
+            # chunk queries so the scalar-prefetched ids fit SMEM (~32 KB)
+            cq = max(BLOCK_Q, min(Q, (8192 // max(K, 1))
+                                  // BLOCK_Q * BLOCK_Q) or BLOCK_Q)
+            pad = (-Q) % cq
+            idsp = jnp.pad(ids_safe, ((0, pad), (0, 0)))
+            qp = jnp.pad(qf, ((0, pad), (0, 0)))
+            out = jax.lax.map(
+                lambda args: fused_gather_distances(
+                    vectors, args[0], args[1], metric),
+                (idsp.reshape(-1, cq, K), qp.reshape(-1, cq, qf.shape[1])))
+            return out.reshape(-1, K)[:Q]
+
+        return distance_to
 
     def distance_to(ids: jax.Array, mask: jax.Array) -> jax.Array:
         ids_safe = jnp.where(mask, ids, 0)
@@ -148,13 +176,14 @@ def hnsw_search(
         graph, vectors, sqnorms, queries, jnp.asarray(ef, jnp.int32),
         k=k, ef_buf=ef_bucket(ef), metric=metric,
         max_level_cap=max_level_cap, max_hops=max_hops, n_expand=n_expand,
-        with_stats=with_stats, visited_mode=visited_mode, allowed=allowed)
+        with_stats=with_stats, visited_mode=visited_mode, allowed=allowed,
+        pallas_hop=_use_pallas_hop())
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("k", "ef_buf", "metric", "max_level_cap", "max_hops",
-                     "n_expand", "with_stats", "visited_mode"),
+                     "n_expand", "with_stats", "visited_mode", "pallas_hop"),
 )
 def _hnsw_search(
     graph: GraphArrays,
@@ -172,6 +201,7 @@ def _hnsw_search(
     with_stats: bool = False,
     visited_mode: str = "buffer",
     allowed: jax.Array | None = None,
+    pallas_hop: bool = False,
 ):
     ef = ef_buf
     if max_hops <= 0:
@@ -183,7 +213,8 @@ def _hnsw_search(
     capacity = vectors.shape[0]
     queries = queries.astype(jnp.float32)
 
-    distance_to = _make_distance_fn(vectors, sqnorms, queries, metric)
+    distance_to = _make_distance_fn(vectors, sqnorms, queries, metric,
+                                    pallas_hop=pallas_hop)
 
     # --- greedy upper-level descent from the global entry point
     ep = jnp.broadcast_to(graph.entry_point, (qn,))
