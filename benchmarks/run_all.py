@@ -52,10 +52,16 @@ def run_config(name: str, scale: float, out):
     logging.info("config=%s n=%d d=%d metric=%s", wl.name, n, d, wl.metric)
 
     cap = 1 << (n - 1).bit_length()
+    if cap >= 1 << 24:  # config caps per-index capacity below 2^24
+        cap = n
     idx = hnsw_tpu.HnswIndex(d, hp["m"], wl.metric, capacity=cap,
                              ef_construction=hp["efc"])
     t0 = time.time()
-    idx.add(base)
+    # chunk large adds: each add() stages its schedule on device, so a
+    # 10M-point single call would hold dataset + staging + graph in HBM
+    chunk = 2_500_000
+    for s in range(0, n, chunk):
+        idx.add(base[s:s + chunk])
     build_s = time.time() - t0
 
     if wl.ground_truth is not None and scale >= 1.0:

@@ -77,6 +77,7 @@ def _insert_batch(
     intra_k: int,
     r_window: int,
     n_expand: int = 4,
+    hop_cap: int = 0,
 ):
     B = xb.shape[0]
     capacity = cfg.capacity
@@ -113,7 +114,19 @@ def _insert_batch(
     e, e_d = greedy_descend(graph, distance_to, ep, ep_d, to_level,
                             cfg.max_level_cap)
 
-    max_hops = 4 * efc + 16
+    # insert beams have the same long convergence tail as queries (see
+    # ops/beam.py hop_limit): the tail hops refine efConstruction candidates
+    # that the select-neighbors prune mostly discards anyway. hop_cap:
+    # 0 = auto (~efc/(2*n_expand) + 12 fat hops — measured at 1M x 128
+    # M=32/efC=100: build 341 s -> 256 s combined with max_batch=2048, the
+    # whole recall frontier within 0.0005 of converged insert beams);
+    # > 0 = explicit cap; < 0 = run insert beams to full convergence.
+    if hop_cap == 0:
+        max_hops = max(16, (efc // max(n_expand, 1)) // 2 + 12)
+    elif hop_cap > 0:
+        max_hops = hop_cap
+    else:
+        max_hops = 4 * efc + 16
     neighbors0 = graph.neighbors0
 
     # ---- 3. upper levels, top down. Three cost controls:
@@ -265,6 +278,7 @@ def _insert_batch_staged(
     intra_k: int,
     r_window: int,
     n_expand: int = 4,
+    hop_cap: int = 0,
 ):
     """One insert batch sliced out of device-staged arrays + on-device scalar
     (entry point / max level / counters) updates.
@@ -285,7 +299,7 @@ def _insert_batch_staged(
     graph, vectors, sqnorms = _insert_batch(
         graph, vectors, sqnorms, xb, ids, levels, slots, cfg=cfg,
         ef_construction=ef_construction, intra_k=intra_k,
-        r_window=r_window, n_expand=n_expand)
+        r_window=r_window, n_expand=n_expand, hop_cap=hop_cap)
 
     # scalar bookkeeping on device (no host round-trip between batches)
     batch_max = jnp.max(levels)                       # -1 when take == 0
@@ -312,14 +326,28 @@ class DeviceBuilder:
 
     BATCH_SIZES = (32, 128, 512, 1024)
 
-    def __init__(self, cfg: HnswConfig, *, max_batch: int = 1024,
-                 intra_k: int = 32, r_window: int = 16, n_expand: int = 4):
+    @property
+    def _sizes(self) -> tuple:
+        """Padded batch shapes in use: BATCH_SIZES clipped to max_batch, plus
+        max_batch itself when it exceeds the largest preset (so
+        DeviceBuilder(max_batch=2048) actually builds 2048-wide batches)."""
+        sizes = [s for s in self.BATCH_SIZES if s <= self.max_batch]
+        if not sizes:
+            sizes = [self.max_batch]
+        if self.max_batch > sizes[-1]:
+            sizes.append(self.max_batch)
+        return tuple(sizes)
+
+    def __init__(self, cfg: HnswConfig, *, max_batch: int = 2048,
+                 intra_k: int = 32, r_window: int = 16, n_expand: int = 4,
+                 hop_cap: int = 0):
         self.cfg = cfg
         self.rng = np.random.default_rng(cfg.seed)
         self.max_batch = max_batch
         self.intra_k = intra_k
         self.r_window = r_window
         self.n_expand = n_expand
+        self.hop_cap = hop_cap
         self._steps: dict = {}
 
     def _draw_levels(self, n: int) -> np.ndarray:
@@ -340,7 +368,8 @@ class DeviceBuilder:
                                   ef_construction=ef_construction,
                                   intra_k=self.intra_k,
                                   r_window=self.r_window,
-                                  n_expand=self.n_expand),
+                                  n_expand=self.n_expand,
+                                  hop_cap=self.hop_cap),
                 donate_argnums=(0, 1, 2),
             )
         return self._steps[key]
@@ -356,7 +385,8 @@ class DeviceBuilder:
                                      ef_construction=ef_construction,
                                      intra_k=self.intra_k,
                                      r_window=self.r_window,
-                                     n_expand=self.n_expand)
+                                     n_expand=self.n_expand,
+                                     hop_cap=self.hop_cap)
 
             def chunk(graph, vectors, sqnorms, xs, ids_s, lv_s, sl_s,
                       offsets, takes):
@@ -414,10 +444,9 @@ class DeviceBuilder:
         while i < n:
             # graph-size-bounded growth: batch never exceeds the current
             # graph size class (early inserts need a dense-enough graph)
-            allowed = max(self.BATCH_SIZES[0], n0)
-            size = max(s for s in self.BATCH_SIZES
-                       if s <= max(allowed, self.BATCH_SIZES[0])
-                       and s <= self.max_batch)
+            sizes = self._sizes
+            allowed = max(sizes[0], n0)
+            size = max(s for s in sizes if s <= max(allowed, sizes[0]))
             take = min(n - i, size)
             lv = all_levels[i:i + take]
             # keep #upper points within the program's static slice (see

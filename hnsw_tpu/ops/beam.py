@@ -125,6 +125,7 @@ def beam_search(
     visited_mode: str = "buffer",
     allowed: jax.Array | None = None,
     ef_live: jax.Array | None = None,
+    hop_limit: jax.Array | None = None,
 ) -> BeamState:
     """Run best-first expansion until every query's buffer is fully expanded.
 
@@ -142,12 +143,22 @@ def beam_search(
         a RUNTIME knob within one compiled program (faiss mutable efSearch
         without recompile): programs are compiled per power-of-two bucket
         and the true ef masks the tail.
+    hop_limit: optional traced scalar — stop after this many hops even if
+        unexpanded entries remain. The convergence tail is long and serves
+        few queries (at 1M/ef=64 the batch converges at ~104 hops but hop
+        ef+8 already has recall within 0.1%, at ~1.5x the throughput), so
+        bounding it is the single cheapest QPS lever; being traced, the cap
+        changes per call with no recompile. None == run to convergence
+        (faiss check_relative_distance-exact termination).
     """
     ef = state.buf_ids.shape[1]
     pos = jnp.arange(ef, dtype=jnp.int32)[None, :]
 
     def cond(s: BeamState):
-        return (s.hops < max_hops) & jnp.any(~s.buf_exp)
+        more = (s.hops < max_hops) & jnp.any(~s.buf_exp)
+        if hop_limit is not None:
+            more = more & (s.hops < hop_limit)
+        return more
 
     def body(s: BeamState):
         # -- select the T nearest unexpanded buffer entries per query

@@ -170,19 +170,33 @@ def hnsw_search(
 
     ``ef_search`` is a runtime knob: programs compile per power-of-two
     bucket (ef_bucket), so sweeping ef or changing it per call in serving
-    does not recompile within a bucket."""
+    does not recompile within a bucket.
+
+    ``max_hops`` (runtime, no recompile): 0 (default) bounds the level-0
+    loop at ef + 8 hops — the batched loop otherwise runs until its SLOWEST
+    query converges, a tail that costs ~35% of wall time while moving
+    recall < 0.1% (measured at 1M; see ops/beam.py hop_limit). > 0 sets an
+    explicit hop cap; < 0 runs to full convergence (faiss-exact
+    check_relative_distance termination semantics)."""
     ef = max(int(ef_search), k)
+    if max_hops == 0:
+        hop_limit = ef + 8
+    elif max_hops > 0:
+        hop_limit = max_hops
+    else:
+        hop_limit = 1 << 30  # converge: never binds before max_hops
     return _hnsw_search(
         graph, vectors, sqnorms, queries, jnp.asarray(ef, jnp.int32),
+        jnp.asarray(hop_limit, jnp.int32),
         k=k, ef_buf=ef_bucket(ef), metric=metric,
-        max_level_cap=max_level_cap, max_hops=max_hops, n_expand=n_expand,
+        max_level_cap=max_level_cap, n_expand=n_expand,
         with_stats=with_stats, visited_mode=visited_mode, allowed=allowed,
         pallas_hop=_use_pallas_hop())
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "ef_buf", "metric", "max_level_cap", "max_hops",
+    static_argnames=("k", "ef_buf", "metric", "max_level_cap",
                      "n_expand", "with_stats", "visited_mode", "pallas_hop"),
 )
 def _hnsw_search(
@@ -191,12 +205,12 @@ def _hnsw_search(
     sqnorms: jax.Array,
     queries: jax.Array,
     ef_live: jax.Array,
+    hop_limit: jax.Array,
     *,
     k: int,
     ef_buf: int,
     metric: str = L2,
     max_level_cap: int = 6,
-    max_hops: int = 0,
     n_expand: int = 1,
     with_stats: bool = False,
     visited_mode: str = "buffer",
@@ -204,11 +218,11 @@ def _hnsw_search(
     pallas_hop: bool = False,
 ):
     ef = ef_buf
-    if max_hops <= 0:
-        # every hop expands >=1 buffer entry; entries only leave the buffer by
-        # being displaced, so 4*ef + 16 comfortably over-covers convergence
-        # (validated against unbounded runs in tests).
-        max_hops = 4 * ef + 16
+    # static loop bound: every hop expands >=1 buffer entry; entries only
+    # leave the buffer by being displaced, so 4*ef + 16 comfortably
+    # over-covers convergence (validated against unbounded runs in tests).
+    # The effective per-call cap is the TRACED hop_limit (see hnsw_search).
+    max_hops = 4 * ef + 16
     qn = queries.shape[0]
     capacity = vectors.shape[0]
     queries = queries.astype(jnp.float32)
@@ -235,7 +249,7 @@ def _hnsw_search(
     state = beam_ops.beam_search(state, gather_l0, distance_to,
                                  max_hops=max_hops, n_expand=n_expand,
                                  visited_mode=visited_mode, allowed=allowed,
-                                 ef_live=ef_live)
+                                 ef_live=ef_live, hop_limit=hop_limit)
 
     # --- top-k extraction (buffer is already sorted ascending)
     if allowed is not None:

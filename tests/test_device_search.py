@@ -101,9 +101,10 @@ def test_ef_bucket_width_independence(host_index, small_workload):
     sq = compute_sqnorms(v)
     q = jnp.asarray(small_workload.queries[:32])
     ef = jnp.asarray(48, jnp.int32)
-    d1, i1 = _hnsw_search(g, v, sq, q, ef, k=10, ef_buf=64, metric="l2",
+    hl = jnp.asarray(48 + 8, jnp.int32)
+    d1, i1 = _hnsw_search(g, v, sq, q, ef, hl, k=10, ef_buf=64, metric="l2",
                           max_level_cap=6)
-    d2, i2 = _hnsw_search(g, v, sq, q, ef, k=10, ef_buf=128, metric="l2",
+    d2, i2 = _hnsw_search(g, v, sq, q, ef, hl, k=10, ef_buf=128, metric="l2",
                           max_level_cap=6)
     assert np.array_equal(np.asarray(i1), np.asarray(i2))
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-6)
