@@ -32,8 +32,15 @@ CONFIG_HP = {  # BASELINE.json:7-11 hyperparameters
                                             256, 384, 512)),
     "gist1m": dict(m=32, efc=100, ef_sweep=(32, 64, 128, 256)),
     "glove100": dict(m=32, efc=100, ef_sweep=(32, 64, 128, 256)),
-    "deep10m": dict(m=32, efc=100, ef_sweep=(32, 64, 128)),
+    "deep10m": dict(m=32, efc=100, ef_sweep=(32, 64, 96, 128, 192, 256)),
 }
+
+
+def _sync_fetch(x):
+    """Force completion honestly: fetch ONE element D2H (block_until_ready
+    alone under-reports on the tunneled axon backend — see bench.py)."""
+    import jax
+    return np.asarray(jax.tree.leaves(x)[0]).ravel()[:1]
 
 
 def run_config(name: str, scale: float, out):
@@ -51,6 +58,20 @@ def run_config(name: str, scale: float, out):
     n, d = base.shape
     logging.info("config=%s n=%d d=%d metric=%s", wl.name, n, d, wl.metric)
 
+    # ground truth FIRST so the brute-force oracle's device arrays are freed
+    # before the index exists (at deep10m the flat copy of base is 3.8 GB —
+    # holding oracle + index + build staging together would crowd HBM)
+    if wl.ground_truth is not None and scale >= 1.0:
+        gt = wl.ground_truth[:, :10]
+    else:
+        t0 = time.time()
+        flat = hnsw_tpu.FlatIndex(d, wl.metric)
+        flat.add(base)
+        _, gt = flat.search(wl.queries, 10)
+        gt = np.asarray(gt)
+        del flat
+        logging.info("brute-force GT: %.1fs", time.time() - t0)
+
     cap = 1 << (n - 1).bit_length()
     if cap >= 1 << 24:  # config caps per-index capacity below 2^24
         cap = n
@@ -63,24 +84,28 @@ def run_config(name: str, scale: float, out):
     for s in range(0, n, chunk):
         idx.add(base[s:s + chunk])
     build_s = time.time() - t0
+    logging.info("build: %.1fs (%.0f inserts/s)", build_s, n / build_s)
 
-    if wl.ground_truth is not None and scale >= 1.0:
-        gt = wl.ground_truth[:, :10]
-    else:
-        flat = hnsw_tpu.FlatIndex(d, wl.metric)
-        flat.add(base)
-        _, gt = flat.search(wl.queries, 10)
-
+    # timed sweep: queries staged on device once, results stay device-side
+    # during timing (tunneled D2H would dominate), best-of-reps (bench.py
+    # robustness lesson from round 1)
+    reps = int(os.environ.get("BENCH_REPS", 3))
     qs = jnp.asarray(np.asarray(wl.queries, np.float32))
     for ef in hp["ef_sweep"]:
-        dd, ii = idx.search(qs, k=10, ef_search=ef)
-        t0 = time.time()
-        dd, ii = idx.search(qs, k=10, ef_search=ef)
-        dt = time.time() - t0
+        dd, ii = idx.search(qs, k=10, ef_search=ef, device_out=True)
+        _sync_fetch(ii)
+        times = []
+        for _ in range(max(reps, 1)):
+            t0 = time.time()
+            dd, ii = idx.search(qs, k=10, ef_search=ef, device_out=True)
+            _sync_fetch(ii)
+            times.append(time.time() - t0)
+        dt = min(times)
         rec = {
             "config": name, "workload": wl.name, "n": n, "d": d,
             "metric": wl.metric, "m": hp["m"], "ef_construction": hp["efc"],
-            "ef_search": ef, "recall@10": round(recall_at_k(ii, gt, 10), 4),
+            "ef_search": ef,
+            "recall@10": round(recall_at_k(np.asarray(ii), gt, 10), 4),
             "qps": round(len(wl.queries) / dt, 1),
             "build_seconds": round(build_s, 1),
             "batch": len(wl.queries),

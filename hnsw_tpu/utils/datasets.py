@@ -159,16 +159,32 @@ _EVAL_CONFIGS = {
 }
 
 
+def _validate_shape(config: str, what: str, arr: np.ndarray,
+                    n: int | None, d: int | None):
+    """Refuse truncated/mismatched real files (see data/README.md: expected
+    rows x dim are published constants for every eval dataset)."""
+    if n is not None and arr.shape[0] != n:
+        raise ValueError(
+            f"{config} {what}: expected {n} rows, file has {arr.shape[0]} "
+            f"(truncated or wrong download — see data/README.md)")
+    if d is not None and arr.shape[1] != d:
+        raise ValueError(
+            f"{config} {what}: expected dim {d}, file has {arr.shape[1]}")
+
+
 def load_eval_workload(config: str, data_dir: str | None = None,
                        n_queries: int = 1000) -> Workload:
     """Load a named BASELINE.json eval config from disk if present, otherwise
-    return the matching-shape synthetic workload."""
+    return the matching-shape synthetic workload. Real files are
+    shape-validated against the published dataset dimensions."""
     cfg = _EVAL_CONFIGS[config]
     root = data_dir or os.environ.get("HNSW_TPU_DATA", "data")
     if "hdf5" in cfg:
         p = os.path.join(root, cfg["hdf5"])
         if os.path.exists(p):
             train, test, nbrs, _dist = read_ann_benchmarks_hdf5(p)
+            _validate_shape(config, "train", train, cfg["n"], cfg["d"])
+            _validate_shape(config, "test", test, None, cfg["d"])
             return Workload(config, train, test, cfg["metric"],
                             ground_truth=nbrs.astype(np.int64))
     elif "base" in cfg:
@@ -177,9 +193,12 @@ def load_eval_workload(config: str, data_dir: str | None = None,
             rd = read_fbin if bp.endswith(".fbin") else read_fvecs
             base = rd(bp)
             queries = rd(os.path.join(root, cfg["query"]))
+            _validate_shape(config, "base", base, cfg["n"], cfg["d"])
+            _validate_shape(config, "query", queries, None, cfg["d"])
             gt = None
             if cfg.get("gt") and os.path.exists(os.path.join(root, cfg["gt"])):
                 gt = read_ivecs(os.path.join(root, cfg["gt"])).astype(np.int64)
+                _validate_shape(config, "ground_truth", gt, len(queries), None)
             return Workload(config, base, queries, cfg["metric"], ground_truth=gt)
     return synthetic_workload(cfg["n"], cfg["d"], n_queries=n_queries,
                               metric=cfg["metric"], name=f"{config}-synthetic")

@@ -48,6 +48,7 @@ def test_fbin_roundtrip(tmp_path):
 
 
 def test_eval_config_loads_real_files_when_present(tmp_path, monkeypatch):
+    from hnsw_tpu.utils import datasets as ds
     base = np.random.default_rng(3).normal(size=(50, 128)).astype(np.float32)
     q = np.random.default_rng(4).normal(size=(5, 128)).astype(np.float32)
     gt = np.tile(np.arange(10, dtype=np.int32), (5, 1))
@@ -56,6 +57,15 @@ def test_eval_config_loads_real_files_when_present(tmp_path, monkeypatch):
     _write_fvecs(str(d / "siftsmall_base.fvecs"), base)
     _write_fvecs(str(d / "siftsmall_query.fvecs"), q)
     _write_ivecs(str(d / "siftsmall_groundtruth.ivecs"), gt)
+
+    # shape guard: a file with the wrong row count (vs the published dataset
+    # size) must be refused, not silently benched
+    import pytest
+    with pytest.raises(ValueError, match="expected 10000 rows"):
+        load_eval_workload("sift10k", data_dir=str(tmp_path))
+
+    # with the config's expected shape matching the file, it loads
+    monkeypatch.setitem(ds._EVAL_CONFIGS["sift10k"], "n", 50)
     wl = load_eval_workload("sift10k", data_dir=str(tmp_path))
     assert wl.name == "sift10k"
     np.testing.assert_array_equal(wl.base, base)
