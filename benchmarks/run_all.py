@@ -75,12 +75,18 @@ def run_config(name: str, scale: float, out):
     cap = 1 << (n - 1).bit_length()
     if cap >= 1 << 24:  # config caps per-index capacity below 2^24
         cap = n
+    kw = {}
+    if n >= 8_000_000:
+        # deep10m HBM budget: the padded persistent arrays alone are ~9.6 GB
+        # at cap=10M — trim the upper-table headroom 4x -> 2x (need is
+        # cap/m rows; still ~2x margin) to make room for program temps
+        kw["upper_capacity"] = 2 * cap // hp["m"]
     idx = hnsw_tpu.HnswIndex(d, hp["m"], wl.metric, capacity=cap,
-                             ef_construction=hp["efc"])
+                             ef_construction=hp["efc"], **kw)
     t0 = time.time()
     # chunk large adds: each add() stages its schedule on device, so a
     # 10M-point single call would hold dataset + staging + graph in HBM
-    chunk = 2_500_000
+    chunk = 2_500_000 if n < 8_000_000 else 1_250_000
     for s in range(0, n, chunk):
         idx.add(base[s:s + chunk])
     build_s = time.time() - t0

@@ -11,6 +11,7 @@ from .graph import GraphArrays, check_invariants, load_graph, save_graph
 from .models.brute import FlatIndex
 from .models.hnsw import HnswIndex
 from .ops.distances import brute_force_topk
+from .ops.packed import PackedNeighbors, pack_neighbors
 from .parallel.sharded import ShardedHnswIndex, make_mesh
 from .reference_impl import NumpyHnsw
 from .search import hnsw_search
@@ -21,5 +22,6 @@ __all__ = [
     "IP", "L2", "HnswConfig", "GraphArrays", "HnswIndex", "FlatIndex",
     "NumpyHnsw", "ShardedHnswIndex", "make_mesh",
     "brute_force_topk", "hnsw_search", "check_invariants",
+    "PackedNeighbors", "pack_neighbors",
     "index_factory", "save_graph", "load_graph", "__version__",
 ]

@@ -45,6 +45,41 @@ from .ops.repair import apply_backlinks
 from .search import _make_distance_fn, greedy_descend
 
 
+def build_layout_formats():
+    """(neighbors0_format, vectors_format) pinning ROW-major layouts for the
+    two big persistent arrays on TPU, or (None, None) elsewhere.
+
+    Rationale (measured at capacity 10M x 96d): XLA auto-layout picks
+    padding-free COLUMN-major for these parameters, then the insert
+    program's gathers each materialize a full row-major padded copy as a
+    temp — 11.9 GB of temps, an HBM compile OOM. Pinning row-major costs
+    pad-to-128 on the persistent arrays but removes the gather copies
+    (temps 4.1 GB) and deep10m fits one chip. Arrays must be CREATED in
+    this layout: relayouting later transiently holds both copies."""
+    if jax.devices()[0].platform != "tpu":
+        return None, None
+    from jax.experimental.layout import Format, Layout
+    import jax.sharding as shd
+    sds = shd.SingleDeviceSharding(jax.devices()[0])
+    rm2 = Format(Layout(major_to_minor=(0, 1)), sds)
+    return rm2, rm2
+
+
+def to_build_layout(graph: GraphArrays, vectors: jax.Array):
+    """Relayout (neighbors0, vectors) into the pinned build layout if needed.
+    Call this while no OTHER references to the arrays are held."""
+    nb_fmt, v_fmt = build_layout_formats()
+    if nb_fmt is None:
+        return graph, vectors
+    want = nb_fmt.layout.major_to_minor
+    if graph.neighbors0.format.layout.major_to_minor != want:
+        graph = graph._replace(
+            neighbors0=jax.device_put(graph.neighbors0, nb_fmt))
+    if vectors.ndim == 2 and vectors.format.layout.major_to_minor != want:
+        vectors = jax.device_put(vectors, v_fmt)
+    return graph, vectors
+
+
 def upper_batch_cap(batch_size: int, m: int) -> int:
     """Static number of leading batch slots reserved for level>=1 points.
     E[#points with level>=1] = batch/m; 4x margin makes overflow vanishingly
@@ -358,10 +393,40 @@ class DeviceBuilder:
 
     SCAN_CHUNK = 32  # full-size batches folded into ONE lax.scan dispatch
 
+    def _layout_formats(self):
+        """Pin ROW-MAJOR layouts on the two big persistent arrays
+        (neighbors0, vectors) for the insert programs.
+
+        Left to auto-layout, XLA's TPU scatter emitter prefers these arrays
+        COLUMN-major while every gather in the beams wants row-major — the
+        compiler then materializes full-size relayout copies as program
+        temps (measured: 11.9 GB of temps at capacity 10M x 96d, an HBM
+        compile OOM; forcing row-major removes the gather copies and leaves
+        only the scatters' transposed staging, 5.5 GB — deep10m fits).
+        Returns (in_shardings, out_shardings) pytrees for the staged-step
+        signature, or (None, None) off-TPU (CPU tests: layouts irrelevant).
+        """
+        nb_fmt, rm2 = build_layout_formats()
+        if nb_fmt is None:
+            return None, None
+        auto = None
+        g_fmt = GraphArrays(
+            neighbors0=rm2, levels=auto, upper_slot=auto, upper_node=auto,
+            upper_neighbors=auto, entry_point=auto, max_level=auto,
+            ntotal=auto, n_upper=auto)
+        return g_fmt, rm2
+
     def _get_step(self, ef_construction: int, size: int):
         """Single staged batch as one dispatch (growth phase / leftovers)."""
         key = ("one", ef_construction, size)
         if key not in self._steps:
+            g_fmt, rm2 = self._layout_formats()
+            kw = {}
+            if g_fmt is not None:
+                kw = dict(
+                    in_shardings=(g_fmt, rm2, None, None, None, None, None,
+                                  None, None),
+                    out_shardings=(g_fmt, rm2, None))
             self._steps[key] = jax.jit(
                 functools.partial(_insert_batch_staged, size=size,
                                   cfg=self.cfg,
@@ -370,7 +435,7 @@ class DeviceBuilder:
                                   r_window=self.r_window,
                                   n_expand=self.n_expand,
                                   hop_cap=self.hop_cap),
-                donate_argnums=(0, 1, 2),
+                donate_argnums=(0, 1, 2), **kw,
             )
         return self._steps[key]
 
@@ -401,27 +466,51 @@ class DeviceBuilder:
                     jnp.stack([offsets, takes], axis=1))
                 return graph, vectors, sqnorms
 
-            self._steps[key] = jax.jit(chunk, donate_argnums=(0, 1, 2))
+            g_fmt, rm2 = self._layout_formats()
+            kw = {}
+            if g_fmt is not None:
+                kw = dict(
+                    in_shardings=(g_fmt, rm2, None, None, None, None, None,
+                                  None, None),
+                    out_shardings=(g_fmt, rm2, None))
+            self._steps[key] = jax.jit(chunk, donate_argnums=(0, 1, 2), **kw)
         return self._steps[key]
 
     def _seed_first(self, graph: GraphArrays, vectors, sqnorms,
                     x0: np.ndarray, level: int):
-        """Insert the very first point host-side (no search needed)."""
+        """Insert the very first point (no search needed). One jitted donated
+        program: EAGER .at[].set on a capacity-sized array materializes a
+        full copy — at 10M x 96d that transient alone HBM-OOMs."""
         i32 = jnp.int32
-        vectors = vectors.at[0].set(jnp.asarray(x0, vectors.dtype))
-        sqnorms = sqnorms.at[0].set(float((x0.astype(np.float64) ** 2).sum()))
+        _, rm2 = self._layout_formats()
+        kw = {}
+        if rm2 is not None:
+            # entry/exit layouts must match the (relayouted) arrays exactly,
+            # or the runtime inserts capacity-sized relayout copies
+            kw = dict(in_shardings=(rm2, None, None, None, None, None),
+                      out_shardings=(rm2, None, None, None, None))
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4), **kw)
+        def seed(vectors, sqnorms, levels, upper_slot, upper_node, x0):
+            return (vectors.at[0].set(x0.astype(vectors.dtype)),
+                    sqnorms.at[0].set(jnp.sum(x0.astype(jnp.float32) ** 2)),
+                    levels.at[0].set(level),
+                    upper_slot.at[0].set(0 if level >= 1 else -1),
+                    upper_node.at[0].set(0) if level >= 1 else upper_node)
+
+        vectors, sqnorms, lv, uslot, unode = seed(
+            vectors, sqnorms, graph.levels, graph.upper_slot,
+            graph.upper_node, jnp.asarray(x0))
         graph = graph._replace(
-            levels=graph.levels.at[0].set(level),
+            levels=lv,
+            upper_slot=uslot,
+            upper_node=unode,
             entry_point=jnp.asarray(0, i32),
             max_level=jnp.asarray(level, i32),
             ntotal=jnp.asarray(1, i32),
         )
         if level >= 1:
-            graph = graph._replace(
-                upper_slot=graph.upper_slot.at[0].set(0),
-                upper_node=graph.upper_node.at[0].set(0),
-                n_upper=jnp.asarray(1, i32),
-            )
+            graph = graph._replace(n_upper=jnp.asarray(1, i32))
         return graph, vectors, sqnorms
 
     def _plan(self, n0: int, n_upper: int, x: np.ndarray,
@@ -480,6 +569,12 @@ class DeviceBuilder:
         n0 = int(graph.ntotal)
         n_upper = int(graph.n_upper)
 
+        # the insert programs pin ROW-major layouts on neighbors0/vectors
+        # (see build_layout_formats); arrays normally arrive pre-layouted
+        # (HnswIndex creates/loads them that way) — this is a defensive
+        # relayout for direct DeviceBuilder users at small capacities
+        graph, vectors = to_build_layout(graph, vectors)
+
         all_levels = self._draw_levels(len(x))
         i = 0
         if n0 == 0 and len(x):
@@ -514,11 +609,21 @@ class DeviceBuilder:
                             done, len(x), rate)
                 last_log = time.time()
 
+        # the lax.scan chunking double-buffers the carried graph arrays (the
+        # donated entry buffers cannot alias the loop carry), which at huge
+        # capacities is the difference between fitting HBM and not: measured
+        # at cap=10M x 96d, scan temps 8.0 GB vs 4.1 GB single-step. Past
+        # ~3 GB of persistent graph+vector bytes, take the per-batch
+        # dispatch overhead instead of the extra HBM.
+        big_bytes = (self.cfg.capacity *
+                     (self.cfg.m0 + max(self.cfg.dim, 128)) * 4)
+        allow_scan = big_bytes < (3 << 30)
+
         # ---- growth phase + any non-full batches: one dispatch each
         bi = 0
         while bi < len(batches):
             off, take, size = batches[bi]
-            if size == self.max_batch and take == size and \
+            if allow_scan and size == self.max_batch and take == size and \
                     len(batches) - bi >= self.SCAN_CHUNK and \
                     all(b[2] == size and b[1] == size for b in
                         batches[bi:bi + self.SCAN_CHUNK]):

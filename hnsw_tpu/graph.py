@@ -45,11 +45,22 @@ class GraphArrays(NamedTuple):
     n_upper: jax.Array          # int32 []  (next free upper slot)
 
 
-def empty_graph(cfg: HnswConfig) -> GraphArrays:
+def create_in_format(shape, dtype, fill, fmt):
+    """Create a filled device array DIRECTLY in the given layout Format
+    (jitted out_shardings) — creating default-layout then relayouting would
+    transiently hold both copies, fatal for capacity-sized arrays at 10M."""
+    if fmt is None:
+        return jnp.full(shape, fill, dtype)
+    return jax.jit(lambda: jnp.full(shape, fill, dtype),
+                   out_shardings=fmt)()
+
+
+def empty_graph(cfg: HnswConfig, *, neighbors0_format=None) -> GraphArrays:
     c, u, L = cfg.capacity, cfg.upper_capacity, cfg.max_level_cap
     i32 = jnp.int32
     return GraphArrays(
-        neighbors0=jnp.full((c, cfg.m0), NO_NEIGHBOR, i32),
+        neighbors0=create_in_format((c, cfg.m0), i32, NO_NEIGHBOR,
+                                    neighbors0_format),
         levels=jnp.full((c,), NO_NEIGHBOR, i32),
         upper_slot=jnp.full((c,), NO_NEIGHBOR, i32),
         upper_node=jnp.full((u,), NO_NEIGHBOR, i32),
@@ -82,14 +93,20 @@ def save_graph(path: str, graph: GraphArrays, vectors: jax.Array,
                         **arrs)
 
 
-def load_graph(path: str):
-    """Returns (graph, vectors, config, extra, extra_arrays)."""
+def load_graph(path: str, as_numpy: bool = False):
+    """Returns (graph, vectors, config, extra, extra_arrays).
+
+    ``as_numpy=True`` keeps graph/vector arrays host-side so the caller can
+    ``jax.device_put`` them straight into a pinned layout — transferring and
+    THEN relayouting would transiently hold two device copies of
+    capacity-sized arrays (fatal at 10M capacity)."""
+    conv = np.asarray if as_numpy else jnp.asarray
     with np.load(path, allow_pickle=False) as z:
         cfg = HnswConfig.from_json(bytes(z["config_json"].item()).decode())
         graph = GraphArrays(**{
-            k: jnp.asarray(z[f"graph_{k}"]) for k in GraphArrays._fields
+            k: conv(z[f"graph_{k}"]) for k in GraphArrays._fields
         })
-        vectors = jnp.asarray(z["vectors"])
+        vectors = conv(z["vectors"])
         extra = {}
         if "extra_json" in z:
             extra = json.loads(bytes(z["extra_json"].item()).decode())

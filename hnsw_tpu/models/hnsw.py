@@ -29,7 +29,7 @@ from ..search import compute_sqnorms, hnsw_search
 class HnswIndex:
     def __init__(self, dim: int | None = None, m: int = 32, metric: str = L2,
                  *, config: HnswConfig | None = None, capacity: int | None = None,
-                 build: str = "device", **kw):
+                 build: str = "device", _alloc: bool = True, **kw):
         if config is None:
             if dim is None:
                 raise ValueError("dim or config required")
@@ -44,13 +44,25 @@ class HnswIndex:
         self.is_trained = True  # HNSWFlat is train-free (faiss parity)
         self.n_expand = 1
 
-        self._graph: GraphArrays = empty_graph(config)
-        self._vectors = jnp.zeros((config.capacity, config.dim),
-                                  dtype=jnp.dtype(config.dtype))
-        self._sqnorms = jnp.zeros((config.capacity,), jnp.float32)
+        self._graph = self._vectors = self._sqnorms = None
+        if _alloc:
+            # the device-build programs pin row-major layouts on the two
+            # capacity-sized arrays; create them DIRECTLY in that layout
+            # (create-then-relayout holds both copies — fatal at 10M)
+            nb_fmt = v_fmt = None
+            if build == "device":
+                from ..build import build_layout_formats
+                nb_fmt, v_fmt = build_layout_formats()
+            from ..graph import create_in_format
+            self._graph = empty_graph(config, neighbors0_format=nb_fmt)
+            self._vectors = create_in_format(
+                (config.capacity, config.dim), jnp.dtype(config.dtype),
+                0, v_fmt)
+            self._sqnorms = jnp.zeros((config.capacity,), jnp.float32)
         self._host: NumpyHnsw | None = None
         self._builder = None  # lazily constructed device builder
         self._alive = None    # tombstone mask [capacity]; None == no removals
+        self._packed = None   # packed neighbor-code tables (enable_packed)
 
     # -- properties ----------------------------------------------------------
     @property
@@ -88,6 +100,7 @@ class HnswIndex:
             raise ValueError("capacity exceeded; create the index with a "
                              "larger `capacity` (device arrays are "
                              "preallocated, SURVEY.md §7 hard-part 5)")
+        self._packed = None  # graph changes invalidate the packed tables
         if self.build_mode == "host":
             self._add_host(x)
         else:
@@ -112,14 +125,47 @@ class HnswIndex:
         from ..build import DeviceBuilder  # local import: build pulls in more
         if self._builder is None:
             self._builder = DeviceBuilder(self.config)
-        self._graph, self._vectors, self._sqnorms = self._builder.add(
-            self._graph, self._vectors, self._sqnorms, x,
-            ef_construction=self.ef_construction)
+        # hand over our array references for the duration of the call: the
+        # builder donates them into its programs (and may relayout them
+        # first); a second live reference here would keep capacity-sized
+        # buffers alive — at 10M x 96d that alone HBM-OOMs
+        g, v, s = self._graph, self._vectors, self._sqnorms
+        self._graph = self._vectors = self._sqnorms = None
+        try:
+            g, v, s = self._builder.add(
+                g, v, s, x, ef_construction=self.ef_construction)
+        finally:
+            self._graph, self._vectors, self._sqnorms = g, v, s
+
+    # -- packed serving mode (ops/packed.py) ----------------------------------
+    def enable_packed(self, bits: int = 8, *, max_bytes: int | None = None
+                      ) -> int:
+        """Build packed neighbor-code tables: the level-0 beam then routes on
+        quantized distances read from ONE fat row per expanded node (~3 HBM
+        transactions per hop instead of ~1 + M_max0), with an exact f32
+        rerank of the final ef buffer. Trades memory for transactions:
+        costs capacity * m0 * d * bits/8 bytes of HBM (``bits``: 8 or 4).
+        Returns the packed table size in bytes. Any subsequent ``add()``
+        invalidates the tables (re-enable after building). Tombstoned ids
+        keep working: deletion filters results, not routing."""
+        from ..ops.packed import pack_neighbors
+        self._packed = pack_neighbors(
+            self._graph.neighbors0, self._vectors, self._graph.levels,
+            bits=bits, max_bytes=max_bytes)
+        return self._packed.nbytes
+
+    def disable_packed(self) -> None:
+        self._packed = None
+
+    @property
+    def packed_enabled(self) -> bool:
+        return self._packed is not None
 
     # -- query ----------------------------------------------------------------
     def search(self, x: np.ndarray, k: int, *, ef_search: int | None = None,
                with_stats: bool = False, allowed: np.ndarray | None = None,
-               device_out: bool = False, max_hops: int = 0):
+               device_out: bool = False, max_hops: int = 0,
+               use_packed: bool | None = None):
         """Batched k-NN. Returns (D [n, k] float32, I [n, k] int64) like
         faiss; I == -1 where fewer than k reachable. ``device_out=True``
         returns device arrays (D f32, I int32) without the D2H transfer —
@@ -135,7 +181,20 @@ class HnswIndex:
         ~1.5x throughput vs full convergence — see hnsw_tpu.search);
         < 0 = run to convergence (faiss-exact termination); > 0 = explicit
         cap. When filtering aggressively, raise ef_search (which raises the
-        auto cap with it) or pass max_hops=-1."""
+        auto cap with it) or pass max_hops=-1.
+
+        ``use_packed``: None (default) routes via the packed neighbor-code
+        tables when ``enable_packed()`` has been called; False bypasses them
+        for this call; True requires them (raises if not enabled)."""
+        if use_packed is None:
+            packed = self._packed
+        elif use_packed:
+            if self._packed is None:
+                raise ValueError("use_packed=True but enable_packed() was "
+                                 "not called (or add() invalidated it)")
+            packed = self._packed
+        else:
+            packed = None
         if self.ntotal == 0:
             n = len(x)
             return (np.full((n, k), np.inf, np.float32),
@@ -154,7 +213,8 @@ class HnswIndex:
             self._graph, self._vectors, self._sqnorms, x,
             k=k, ef_search=ef, metric=self.config.metric,
             max_level_cap=self.config.max_level_cap, max_hops=max_hops,
-            n_expand=self.n_expand, with_stats=with_stats, allowed=allowed)
+            n_expand=self.n_expand, with_stats=with_stats, allowed=allowed,
+            packed=packed)
         if with_stats:
             d, i, stats = out
             if device_out:
@@ -259,11 +319,22 @@ class HnswIndex:
 
     @classmethod
     def load(cls, path: str) -> "HnswIndex":
-        graph, vectors, cfg, extra, xarr = load_graph(path)
-        idx = cls(config=cfg)
-        idx._graph = graph
-        idx._vectors = vectors
-        idx._sqnorms = compute_sqnorms(vectors)
+        # host-side load, then device_put straight into the pinned build
+        # layout — ctor allocation is skipped and nothing is transferred
+        # twice, so peak device memory is one copy of the index
+        graph, vectors, cfg, extra, xarr = load_graph(path, as_numpy=True)
+        from ..build import build_layout_formats
+        nb_fmt, v_fmt = build_layout_formats()
+        idx = cls(config=cfg, _alloc=False)
+        idx._graph = GraphArrays(
+            neighbors0=(jax.device_put(graph.neighbors0, nb_fmt)
+                        if nb_fmt is not None
+                        else jnp.asarray(graph.neighbors0)),
+            **{k: jnp.asarray(getattr(graph, k))
+               for k in GraphArrays._fields if k != "neighbors0"})
+        idx._vectors = (jax.device_put(vectors, v_fmt)
+                        if v_fmt is not None else jnp.asarray(vectors))
+        idx._sqnorms = compute_sqnorms(idx._vectors)
         if "alive" in xarr:
             idx._alive = jnp.asarray(xarr["alive"])
         if "builder_rng_state" in extra:

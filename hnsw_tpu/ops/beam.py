@@ -126,6 +126,7 @@ def beam_search(
     allowed: jax.Array | None = None,
     ef_live: jax.Array | None = None,
     hop_limit: jax.Array | None = None,
+    expand: Callable | None = None,
 ) -> BeamState:
     """Run best-first expansion until every query's buffer is fully expanded.
 
@@ -150,6 +151,13 @@ def beam_search(
         bounding it is the single cheapest QPS lever; being traced, the cap
         changes per call with no recompile. None == run to convergence
         (faiss check_relative_distance-exact termination).
+    expand: optional fused expansion (ops/packed.py): (cur [Q, T], step_ok
+        [Q, T]) -> (nbrs [Q, T, K], dist [Q, T*K]). When given it replaces
+        gather_neighbors + distance_to: the expanded node's one packed code
+        row yields both adjacency and ALL candidate distances (~3 HBM
+        transactions per node instead of ~1 + K). Distances for non-fresh
+        candidates are computed anyway (free — the row is already fetched)
+        and masked after.
     """
     ef = state.buf_ids.shape[1]
     pos = jnp.arange(ef, dtype=jnp.int32)[None, :]
@@ -179,7 +187,11 @@ def beam_search(
         buf_exp = s.buf_exp | hit
 
         # -- expand: gather adjacency rows, flatten T into the key axis
-        nbrs = gather_neighbors(cur_safe)                            # [Q, T, K]
+        if expand is not None:
+            nbrs, pre_dist = expand(cur_safe, step_ok)               # packed
+        else:
+            nbrs = gather_neighbors(cur_safe)                        # [Q, T, K]
+            pre_dist = None
         qn = nbrs.shape[0]
         nbrs = nbrs.reshape(qn, -1)                                  # [Q, T*K]
         valid = (nbrs >= 0) & jnp.repeat(step_ok, nbrs.shape[1] // n_expand,
@@ -209,7 +221,7 @@ def beam_search(
         if visited_mode == "bitmap":
             visited = mark_visited(s.visited, nbrs, fresh)
 
-        dist = distance_to(nbrs, fresh)
+        dist = pre_dist if pre_dist is not None else distance_to(nbrs, fresh)
         dist = jnp.where(fresh, dist, INF)
         ndis = s.ndis + jnp.sum(fresh, axis=1, dtype=jnp.int32)
 

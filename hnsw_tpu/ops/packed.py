@@ -1,0 +1,225 @@
+"""Packed neighbor-code rows: transaction-optimal level-0 expansion.
+
+Motivation (ARCHITECTURE.md "gather roofline"): on TPU the hop cost is bound
+by scattered row-fetch TRANSACTIONS (~10 ns/row regardless of row width up
+to ~2 KB), not bytes. The standard hop therefore pays ~1 + K fetches per
+expanded node (1 adjacency row + one 512 B vector row per candidate). This
+module trades memory for transactions, the same idea DiskANN uses to beat
+SSD latency: for every node, store the quantized vectors of ALL its level-0
+neighbors contiguously in one fat row. A hop then fetches
+
+    1 adjacency row  (m0 x int32)
+  + 1 code row       (m0 x d x bits/8 bytes, one transaction)
+  + 1 sqnorm row     (m0 x f32)
+
+per expanded node — ~3 transactions instead of ~1 + K — and computes all K
+candidate distances straight from the code row on the MXU/VPU.
+
+Distance algebra (no dequantized [Q, K, d] intermediate): with per-dim
+affine dequantization x̂ = offset + scale * u,
+
+    L2 surrogate:  ||x̂||² - 2 q·x̂ = sq_hat - 2 (q*scale)·u - 2 q·offset
+    IP surrogate:  -q·x̂           =        - (q*scale)·u -   q·offset
+
+The q·offset term is constant per query, so it cannot change any ranking:
+the beam runs on `sq_hat - 2 (q*scale)·u` (resp. `-(q*scale)·u`), and the
+one exactly-computed distance that enters the beam (the entry point, scored
+from f32 vectors) is shifted by the same constant to stay on-scale.
+
+Precision: the beam routes on quantized distances (8-bit per dim by
+default; 4-bit packed two-per-byte for half the row bytes); the final ef
+buffer is re-ranked with exact f32 distances (one [Q, ef] gather — the cost
+of a single hop), so returned (D, I) retain full precision and only the
+*routing* is approximate. Measured effect on recall is absorbed by 1-2
+points of efSearch.
+
+Memory: codes cost capacity * m0 * d * bits/8 bytes (the vector data is
+replicated once per in-edge, the price of one-transaction hops) — 8.4 GB at
+1M x 128-d x 8-bit, half that at 4-bit. `pack_neighbors` refuses tables that
+cannot fit next to the index (caller passes the budget).
+
+No upstream faiss equivalent (faiss's HNSW reads vectors through
+DistanceComputer per candidate; reference `/root/reference/README.md:2`
+names faiss-HNSW as the capability spec) — this is a TPU-hardware-shaped
+serving accelerator on top of the same graph.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class PackedNeighbors(NamedTuple):
+    """Device pytree of the packed serving tables. ``bits`` is inferred from
+    the code-row width: m0*d bytes -> 8-bit, m0*d/2 -> 4-bit."""
+
+    nbr_codes: jax.Array  # uint8 [capacity, m0 * d * bits // 8]
+    nbr_sq: jax.Array     # f32   [capacity, m0]   ||x̂||² of each neighbor
+    scale: jax.Array      # f32   [d]   per-dim dequant scale
+    offset: jax.Array     # f32   [d]   per-dim dequant offset
+
+    def bits_for(self, d: int, m0: int) -> int:
+        w = self.nbr_codes.shape[1]
+        if w == m0 * d:
+            return 8
+        if w == (m0 * d + 1) // 2:
+            return 4
+        raise ValueError(f"packed row width {w} matches neither 8-bit "
+                         f"({m0 * d}) nor 4-bit ({(m0 * d + 1) // 2})")
+
+    @property
+    def nbytes(self) -> int:
+        return sum(int(a.size) * a.dtype.itemsize for a in self)
+
+
+def quantization_params(vectors: jax.Array, live: jax.Array, bits: int):
+    """Per-dim affine (offset, scale) over live rows, faiss
+    ScalarQuantizer-style min/max training. Returns (offset [d], scale [d]),
+    scale floored so constant dims don't divide by zero."""
+    v = vectors.astype(jnp.float32)
+    big = jnp.float32(jnp.inf)
+    vmin = jnp.min(jnp.where(live[:, None], v, big), axis=0)
+    vmax = jnp.max(jnp.where(live[:, None], v, -big), axis=0)
+    vmin = jnp.where(jnp.isfinite(vmin), vmin, 0.0)
+    vmax = jnp.where(jnp.isfinite(vmax), vmax, 0.0)
+    levels = jnp.float32((1 << bits) - 1)
+    scale = jnp.maximum(vmax - vmin, 1e-20) / levels
+    return vmin, scale
+
+
+def quantize_codes(vectors: jax.Array, offset: jax.Array, scale: jax.Array,
+                   bits: int) -> jax.Array:
+    """uint8 codes [n, d] (values 0..2^bits-1, still one byte per dim —
+    4-bit packing happens at row assembly)."""
+    levels = (1 << bits) - 1
+    u = jnp.round((vectors.astype(jnp.float32) - offset) / scale)
+    return jnp.clip(u, 0, levels).astype(jnp.uint8)
+
+
+def _pack_nibbles(codes: jax.Array) -> jax.Array:
+    """[..., d] 4-bit values -> [..., ceil(d/2)] bytes (low nibble first)."""
+    d = codes.shape[-1]
+    if d % 2:
+        codes = jnp.concatenate(
+            [codes, jnp.zeros(codes.shape[:-1] + (1,), codes.dtype)], -1)
+    lo = codes[..., 0::2]
+    hi = codes[..., 1::2]
+    return (lo | (hi << 4)).astype(jnp.uint8)
+
+
+def unpack_nibbles(rows: jax.Array, d: int) -> jax.Array:
+    """[..., ceil(d/2)] bytes -> [..., d] 4-bit values (uint8)."""
+    lo = rows & jnp.uint8(0x0F)
+    hi = (rows >> 4) & jnp.uint8(0x0F)
+    out = jnp.stack([lo, hi], axis=-1).reshape(*rows.shape[:-1], -1)
+    return out[..., :d]
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "chunk"))
+def _assemble_rows(neighbors0: jax.Array, codes_all: jax.Array,
+                   sq_all: jax.Array, *, bits: int, chunk: int):
+    """Gather each node's neighbor codes/sqnorms into contiguous rows,
+    chunked through a fori_loop so the [cap, m0, d] intermediate never
+    materializes (the output alone is GBs)."""
+    cap, m0 = neighbors0.shape
+    d = codes_all.shape[1]
+    row_w = m0 * d if bits == 8 else m0 * ((d + 1) // 2)
+    n_chunks = (cap + chunk - 1) // chunk
+    pad_cap = n_chunks * chunk
+    nb = jnp.pad(neighbors0, ((0, pad_cap - cap), (0, 0)))
+
+    out_codes = jnp.zeros((pad_cap, row_w), jnp.uint8)
+    out_sq = jnp.zeros((pad_cap, m0), jnp.float32)
+
+    def body(i, carry):
+        oc, osq = carry
+        rows = jax.lax.dynamic_slice(nb, (i * chunk, 0), (chunk, m0))
+        safe = jnp.maximum(rows, 0)
+        nc = codes_all[safe]                      # [chunk, m0, d] uint8
+        if bits == 4:
+            nc = _pack_nibbles(nc)
+        nc = nc.reshape(chunk, row_w)
+        nsq = sq_all[safe]                        # [chunk, m0]
+        oc = jax.lax.dynamic_update_slice(oc, nc, (i * chunk, 0))
+        osq = jax.lax.dynamic_update_slice(osq, nsq, (i * chunk, 0))
+        return oc, osq
+
+    out_codes, out_sq = jax.lax.fori_loop(0, n_chunks, body,
+                                          (out_codes, out_sq))
+    return out_codes[:cap], out_sq[:cap]
+
+
+def pack_neighbors(neighbors0: jax.Array, vectors: jax.Array,
+                   levels: jax.Array, *, bits: int = 8,
+                   max_bytes: int | None = None,
+                   chunk: int = 1 << 16) -> PackedNeighbors:
+    """Build the packed serving tables from a finished graph.
+
+    bits: 8 (one byte/dim) or 4 (two dims/byte, half the row bytes — use for
+    larger capacities; routing quality drops slightly, absorbed by ef).
+    max_bytes: refuse (ValueError) if the code table would exceed this.
+    """
+    if bits not in (4, 8):
+        raise ValueError(f"bits must be 4 or 8, got {bits}")
+    cap, m0 = neighbors0.shape
+    d = vectors.shape[1]
+    row_w = m0 * d if bits == 8 else m0 * ((d + 1) // 2)
+    total = cap * row_w + cap * m0 * 4
+    if max_bytes is not None and total > max_bytes:
+        raise ValueError(
+            f"packed table needs {total / 1e9:.1f} GB "
+            f"(> budget {max_bytes / 1e9:.1f} GB); use bits=4 or skip "
+            f"packing for this capacity")
+    live = levels >= 0
+    offset, scale = quantization_params(vectors, live, bits)
+    codes_all = quantize_codes(vectors, offset, scale, bits)   # [cap, d]
+    xhat_sq = jnp.sum(
+        (offset + scale * codes_all.astype(jnp.float32)) ** 2, axis=1)
+    nbr_codes, nbr_sq = _assemble_rows(neighbors0, codes_all, xhat_sq,
+                                       bits=bits, chunk=min(chunk, cap))
+    return PackedNeighbors(nbr_codes, nbr_sq, scale=scale, offset=offset)
+
+
+def make_packed_expand(packed: PackedNeighbors, neighbors0: jax.Array,
+                       queries: jax.Array, metric: str):
+    """Returns expand(cur [Q, T], step_ok [Q, T]) -> (nbrs [Q, T, m0],
+    dist [Q, T*m0]) for ops.beam.beam_search: all candidate distances of an
+    expanded node computed from its one packed code row.
+
+    Also returns the per-query scale shift to add to exactly-computed
+    distances (entry point) so they compare against code-row distances:
+    L2 surrogate shift = 2 q·offset, IP shift = q·offset (module docstring).
+    """
+    from ..config import IP
+
+    qf = queries.astype(jnp.float32)
+    qs = qf * packed.scale                            # [Q, d]
+    qoff = qf @ packed.offset                         # [Q]
+    shift = qoff if metric == IP else 2.0 * qoff
+    m0 = neighbors0.shape[1]
+    d = qf.shape[1]
+
+    def expand(cur: jax.Array, step_ok: jax.Array):
+        safe = jnp.where(step_ok, cur, 0)
+        nbrs = neighbors0[safe]                       # [Q, T, m0]
+        rows = packed.nbr_codes[safe]                 # [Q, T, row_w] uint8
+        qn, t = safe.shape
+        if rows.shape[-1] == m0 * d:
+            u = rows.reshape(qn, t, m0, d)
+        else:
+            u = unpack_nibbles(rows.reshape(qn, t, m0, -1), d)
+        # routing distances: quantized operand straight into the contraction
+        # (default precision — the data is 4/8-bit, HIGHEST buys nothing)
+        dots = jnp.einsum("qd,qtkd->qtk", qs, u.astype(jnp.float32),
+                          preferred_element_type=jnp.float32)
+        if metric == IP:
+            dist = -dots
+        else:
+            dist = packed.nbr_sq[safe] - 2.0 * dots   # [Q, T, m0]
+        return nbrs, dist.reshape(qn, t * m0)
+
+    return expand, shift

@@ -95,7 +95,7 @@ def apply_backlinks(
     # d=960), so the prune streams over row chunks via lax.map.
     d_model = vectors.shape[1]
     row_bytes = (W + R) * d_model * 4
-    chunk = max(256, min(P, (1 << 30) // max(row_bytes, 1)))
+    chunk = max(256, min(P, (1 << 29) // max(row_bytes, 1)))
     chunk = 1 << (chunk.bit_length() - 1)  # power of two
     n_chunks = -(-P // chunk)
     pad = n_chunks * chunk - P

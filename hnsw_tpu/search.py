@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from .config import IP, L2
 from .graph import GraphArrays
 from .ops import beam as beam_ops
+from .ops.packed import PackedNeighbors, make_packed_expand
 
 
 class SearchStats(NamedTuple):
@@ -157,10 +158,16 @@ def hnsw_search(
     with_stats: bool = False,
     visited_mode: str = "buffer",
     allowed: jax.Array | None = None,
+    packed: PackedNeighbors | None = None,
 ):
     """Batched k-NN query. Returns (dists [Q, k], ids [Q, k]) sorted
     ascending; ids are -1 (dist inf) past the reachable set. With
     ``with_stats`` also returns SearchStats (faiss hnsw_stats parity).
+
+    ``packed`` (ops/packed.py): optional packed neighbor-code tables. The
+    level-0 beam then routes on quantized distances read from one fat row
+    per expanded node (~3 HBM transactions/hop instead of ~1 + K) and the
+    final ef buffer is re-ranked with exact f32 distances.
 
     ``allowed`` (bool [capacity], optional) enables filtered search — faiss
     SearchParametersHNSW/IDSelector parity: the graph is traversed
@@ -191,7 +198,7 @@ def hnsw_search(
         k=k, ef_buf=ef_bucket(ef), metric=metric,
         max_level_cap=max_level_cap, n_expand=n_expand,
         with_stats=with_stats, visited_mode=visited_mode, allowed=allowed,
-        pallas_hop=_use_pallas_hop())
+        packed=packed, pallas_hop=_use_pallas_hop())
 
 
 @functools.partial(
@@ -215,6 +222,7 @@ def _hnsw_search(
     with_stats: bool = False,
     visited_mode: str = "buffer",
     allowed: jax.Array | None = None,
+    packed: PackedNeighbors | None = None,
     pallas_hop: bool = False,
 ):
     ef = ef_buf
@@ -238,6 +246,14 @@ def _hnsw_search(
         jnp.zeros((qn,), jnp.int32), max_level_cap)
 
     # --- level-0 beam search
+    expand = None
+    if packed is not None:
+        # packed serving mode: beam routes on quantized code-row distances;
+        # the exactly-scored entry point is shifted onto the same scale
+        # (ops/packed.py module docstring), exact rerank restores precision
+        expand, scale_shift = make_packed_expand(
+            packed, graph.neighbors0, queries, metric)
+        ep0_dist = ep0_dist + scale_shift
     state = beam_ops.init_beam(ep0, ep0_dist, ef, capacity,
                                visited_mode=visited_mode)
     if allowed is not None:
@@ -249,10 +265,30 @@ def _hnsw_search(
     state = beam_ops.beam_search(state, gather_l0, distance_to,
                                  max_hops=max_hops, n_expand=n_expand,
                                  visited_mode=visited_mode, allowed=allowed,
-                                 ef_live=ef_live, hop_limit=hop_limit)
+                                 ef_live=ef_live, hop_limit=hop_limit,
+                                 expand=expand)
 
     # --- top-k extraction (buffer is already sorted ascending)
-    if allowed is not None:
+    if packed is not None:
+        # exact f32 rerank of the final buffer: one [Q, ef] gather (the cost
+        # of a single hop) replaces routing distances with exact surrogate
+        # distances; the two-key dedup sort also collapses any duplicates
+        src_ids = state.res_ids if allowed is not None else state.buf_ids
+        safe = jnp.maximum(src_ids, 0)
+        vecs = vectors[safe].astype(jnp.float32)
+        dots = jnp.einsum("qd,qkd->qk", queries, vecs,
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+        if metric == IP:
+            ex = -dots
+        else:
+            sq = jnp.einsum("qkd,qkd->qk", vecs, vecs,
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+            ex = sq - 2.0 * dots
+        ex = jnp.where(src_ids >= 0, ex, jnp.inf)
+        buf_ids, buf_dist = beam_ops.dedup_sorted_buffer(src_ids, ex)
+    elif allowed is not None:
         # filtered results can contain re-encounter duplicates: collapse
         buf_ids, buf_dist = beam_ops.dedup_sorted_buffer(
             state.res_ids, state.res_dist)
