@@ -100,7 +100,13 @@ def main():
     try:  # persistent compile cache: repeated bench runs skip the big builds
         jax.config.update("jax_compilation_cache_dir",
                           os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                         "/tmp/jaxcache"))
+                                         "/tmp/jaxcache-l1"))
+        # "-l1" = layout-epoch salt: the persistent cache on the remote-AOT
+        # (axon) path does not key on pinned entry layouts, so executables
+        # compiled before the row-major pinning (build.py
+        # build_layout_formats) collide with post-pinning programs and
+        # return outputs in the wrong layout (a jit-layout ValueError at
+        # the next call). Bump the salt whenever pinned layouts change.
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     except Exception:
         pass

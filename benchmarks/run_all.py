@@ -58,31 +58,24 @@ def run_config(name: str, scale: float, out):
     n, d = base.shape
     logging.info("config=%s n=%d d=%d metric=%s", wl.name, n, d, wl.metric)
 
-    # ground truth FIRST so the brute-force oracle's device arrays are freed
-    # before the index exists (at deep10m the flat copy of base is 3.8 GB —
-    # holding oracle + index + build staging together would crowd HBM)
-    if wl.ground_truth is not None and scale >= 1.0:
-        gt = wl.ground_truth[:, :10]
-    else:
-        t0 = time.time()
-        flat = hnsw_tpu.FlatIndex(d, wl.metric)
-        flat.add(base)
-        _, gt = flat.search(wl.queries, 10)
-        gt = np.asarray(gt)
-        del flat
-        logging.info("brute-force GT: %.1fs", time.time() - t0)
-
     cap = 1 << (n - 1).bit_length()
     if cap >= 1 << 24:  # config caps per-index capacity below 2^24
         cap = n
     kw = {}
-    if n >= 8_000_000:
+    big = n >= 8_000_000
+    if big:
         # deep10m HBM budget: the padded persistent arrays alone are ~9.6 GB
         # at cap=10M — trim the upper-table headroom 4x -> 2x (need is
         # cap/m rows; still ~2x margin) to make room for program temps
         kw["upper_capacity"] = 2 * cap // hp["m"]
+    # index FIRST, ground truth second: the capacity-sized arrays must be
+    # allocated into clean HBM — created under memory pressure, the pinned
+    # row-major layout request can be silently dropped (observed on the
+    # axon backend at cap=10M), which later breaks the insert programs'
+    # layout contract
     idx = hnsw_tpu.HnswIndex(d, hp["m"], wl.metric, capacity=cap,
                              ef_construction=hp["efc"], **kw)
+
     t0 = time.time()
     # chunk large adds: each add() stages its schedule on device, so a
     # 10M-point single call would hold dataset + staging + graph in HBM
@@ -91,6 +84,23 @@ def run_config(name: str, scale: float, out):
         idx.add(base[s:s + chunk])
     build_s = time.time() - t0
     logging.info("build: %.1fs (%.0f inserts/s)", build_s, n / build_s)
+
+    # ground truth AFTER the build, from the index's own device-resident
+    # vectors — no second multi-GB copy of base on device, and the
+    # capacity-sized index arrays were allocated into clean HBM first
+    # (created under memory pressure, the pinned row-major layout request
+    # can be silently dropped — observed on the axon backend at cap=10M)
+    if wl.ground_truth is not None and scale >= 1.0:
+        gt = wl.ground_truth[:, :10]
+    else:
+        t0 = time.time()
+        bvec = (idx.vectors if n == idx.config.capacity
+                else idx.vectors[:n])
+        _, gt = hnsw_tpu.brute_force_topk(
+            jnp.asarray(np.asarray(wl.queries, np.float32)), bvec, k=10,
+            metric=wl.metric, tile_n=16384 if big else 65536)
+        gt = np.asarray(gt)
+        logging.info("brute-force GT: %.1fs", time.time() - t0)
 
     # timed sweep: queries staged on device once, results stay device-side
     # during timing (tunneled D2H would dominate), best-of-reps (bench.py
@@ -126,7 +136,9 @@ def main():
     try:
         jax.config.update("jax_compilation_cache_dir",
                           os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                         "/tmp/jaxcache"))
+                                         "/tmp/jaxcache-l1"))  # layout-epoch
+        # salt: see bench.py — stale pre-layout-pinning cache entries
+        # collide on the remote-AOT path and break the insert programs
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     except Exception:
         pass

@@ -645,6 +645,11 @@ class DeviceBuilder:
                     np.int32(off), np.int32(take))
                 done += take
                 bi += 1
+                if bi % 16 == 0:
+                    # bound async runahead in the per-batch path too: the
+                    # tunneled device wedges when hundreds of dispatches
+                    # queue up (same guard as the scan branch above)
+                    jax.block_until_ready(graph.entry_point)
             log_progress()
         # jax dispatch is async: without this, add() returns while batches
         # are still executing and wall-clock accounting lands on the next
