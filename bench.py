@@ -167,6 +167,25 @@ def main():
         _, gt = flat.search(queries, 10)
         _log(f"[bench] brute-force GT: {time.time()-t0:.1f}s")
 
+    # ---- packed serving mode (ops/packed.py): route on neighbor-code rows
+    # (one HBM transaction per expanded node) + exact rerank. Measured at
+    # 1M x 128: 1.77x QPS at identical recall. Auto-enabled when the code
+    # table leaves HBM headroom; BENCH_PACKED=0 disables, =4 forces 4-bit.
+    packed_env = os.environ.get("BENCH_PACKED", "auto")
+    packed_bits = 0
+    if packed_env != "0":
+        bits = int(packed_env) if packed_env in ("4", "8") else 8
+        est = idx.config.capacity * idx.config.m0 * (d * bits // 8 + 4)
+        if packed_env in ("4", "8") or est <= 10 * 10**9:
+            t0 = time.time()
+            try:
+                nb = idx.enable_packed(bits=bits)
+                packed_bits = bits
+                _log(f"[bench] packed tables: {nb/1e9:.2f} GB "
+                     f"({bits}-bit) in {time.time()-t0:.1f}s")
+            except Exception as e:  # noqa: BLE001 — fall back to unpacked
+                _log(f"[bench] packed mode unavailable: {e!r}")
+
     # ---- efSearch sweep: find the cheapest ef reaching the target recall.
     # Queries staged on device once; results stay on device during timing
     # (the tunneled D2H of a [8192, 10] result would dominate honest timing);
@@ -230,6 +249,7 @@ def main():
         "environment": env, "downsized": downsized,
         "ndis_per_query": round(stat_summary["ndis_per_query"], 1),
         "hops_per_batch": round(stat_summary["hops_per_batch"], 1),
+        "packed_bits": packed_bits,
         "sweep": results,
         "baseline_qps": base_qps, "baseline_source": base_src,
         "n": n, "d": d, "batch": len(queries),

@@ -45,18 +45,31 @@ from .ops.repair import apply_backlinks
 from .search import _make_distance_fn, greedy_descend
 
 
-def build_layout_formats():
+def build_layout_formats(capacity: int = 0, m0: int = 64, dim: int = 128):
     """(neighbors0_format, vectors_format) pinning ROW-major layouts for the
-    two big persistent arrays on TPU, or (None, None) elsewhere.
+    two big persistent arrays on TPU, or (None, None) when not needed.
 
     Rationale (measured at capacity 10M x 96d): XLA auto-layout picks
     padding-free COLUMN-major for these parameters, then the insert
     program's gathers each materialize a full row-major padded copy as a
     temp — 11.9 GB of temps, an HBM compile OOM. Pinning row-major costs
     pad-to-128 on the persistent arrays but removes the gather copies
-    (temps 4.1 GB) and deep10m fits one chip. Arrays must be CREATED in
-    this layout: relayouting later transiently holds both copies."""
+    (temps 4.1 GB) and deep10m fits one chip.
+
+    Pinning is applied ONLY above ~3 GB of persistent graph+vector bytes:
+    below that, auto layouts fit comfortably and are more robust — on the
+    axon backend, an out_shardings-pinned creation is silently ignored
+    PHYSICALLY (metadata still claims the pinned layout) unless the index
+    arrays are the first allocations on the device; the lie then surfaces
+    one donated call later as a "Layout passed to jit does not match"
+    error. Consequently, at pinned (large) capacities the index MUST be
+    created before any other device work — run_all.py orders deep10m this
+    way. Arrays must also be CREATED in this layout (create_in_format):
+    relayouting later transiently holds both copies."""
     if jax.devices()[0].platform != "tpu":
+        return None, None
+    persist = capacity * (m0 * 4 + max(dim, 128) * 4)
+    if persist < (3 << 30):
         return None, None
     from jax.experimental.layout import Format, Layout
     import jax.sharding as shd
@@ -68,7 +81,9 @@ def build_layout_formats():
 def to_build_layout(graph: GraphArrays, vectors: jax.Array):
     """Relayout (neighbors0, vectors) into the pinned build layout if needed.
     Call this while no OTHER references to the arrays are held."""
-    nb_fmt, v_fmt = build_layout_formats()
+    nb_fmt, v_fmt = build_layout_formats(
+        graph.neighbors0.shape[0], graph.neighbors0.shape[1],
+        vectors.shape[1] if vectors.ndim == 2 else 128)
     if nb_fmt is None:
         return graph, vectors
     want = nb_fmt.layout.major_to_minor
@@ -406,7 +421,8 @@ class DeviceBuilder:
         Returns (in_shardings, out_shardings) pytrees for the staged-step
         signature, or (None, None) off-TPU (CPU tests: layouts irrelevant).
         """
-        nb_fmt, rm2 = build_layout_formats()
+        nb_fmt, rm2 = build_layout_formats(self.cfg.capacity, self.cfg.m0,
+                                           self.cfg.dim)
         if nb_fmt is None:
             return None, None
         auto = None

@@ -52,7 +52,8 @@ class HnswIndex:
             nb_fmt = v_fmt = None
             if build == "device":
                 from ..build import build_layout_formats
-                nb_fmt, v_fmt = build_layout_formats()
+                nb_fmt, v_fmt = build_layout_formats(
+                    config.capacity, config.m0, config.dim)
             from ..graph import create_in_format
             self._graph = empty_graph(config, neighbors0_format=nb_fmt)
             self._vectors = create_in_format(
@@ -324,7 +325,7 @@ class HnswIndex:
         # twice, so peak device memory is one copy of the index
         graph, vectors, cfg, extra, xarr = load_graph(path, as_numpy=True)
         from ..build import build_layout_formats
-        nb_fmt, v_fmt = build_layout_formats()
+        nb_fmt, v_fmt = build_layout_formats(cfg.capacity, cfg.m0, cfg.dim)
         idx = cls(config=cfg, _alloc=False)
         idx._graph = GraphArrays(
             neighbors0=(jax.device_put(graph.neighbors0, nb_fmt)
