@@ -94,11 +94,12 @@ def run_config(name: str, scale: float, out):
         gt = wl.ground_truth[:, :10]
     else:
         t0 = time.time()
-        bvec = (idx.vectors if n == idx.config.capacity
-                else idx.vectors[:n])
+        # n_valid (not an eager [:n] slice — that would materialize a full
+        # multi-GB copy of the capacity-sized vector array)
         _, gt = hnsw_tpu.brute_force_topk(
-            jnp.asarray(np.asarray(wl.queries, np.float32)), bvec, k=10,
-            metric=wl.metric, tile_n=16384 if big else 65536)
+            jnp.asarray(np.asarray(wl.queries, np.float32)), idx.vectors,
+            k=10, metric=wl.metric, tile_n=16384 if big else 65536,
+            n_valid=n)
         gt = np.asarray(gt)
         logging.info("brute-force GT: %.1fs", time.time() - t0)
 

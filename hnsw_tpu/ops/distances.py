@@ -67,18 +67,27 @@ def brute_force_topk(
     tile_n: int = 65536,
     tile_q: int = 0,
     base_sqnorms: jax.Array | None = None,
+    n_valid: jax.Array | int | None = None,
 ):
     """Exact k-NN: returns (dists [Q, k], ids [Q, k]) sorted ascending.
 
     Streams the database in `tile_n`-row tiles through a lax.scan with a
     running top-k merge, so N is bounded only by HBM. Matches faiss
     IndexFlat search semantics (SURVEY.md C16); also the recall oracle.
+
+    ``n_valid``: rows >= n_valid are excluded (traced scalar — lets callers
+    pass a partially-filled capacity-sized array directly; an eager
+    ``base[:n]`` slice would materialize a full copy, multi-GB at scale).
     """
     q, d = queries.shape
     n = base.shape[0]
+    if n_valid is None:
+        n_valid = n
     queries = queries.astype(jnp.float32)
 
     def finalize(dist, idx):
+        # slots that only ever saw masked (+inf) rows are not real results
+        idx = jnp.where(jnp.isposinf(dist), -1, idx)
         # internal ranking uses the ||x||^2 - 2 q·x surrogate; report true
         # squared L2 (consistent with HnswIndex.search)
         if metric == L2:
@@ -89,12 +98,15 @@ def brute_force_topk(
         # secondary tiling over queries to bound the [tile_q, tile_n] buffer
         pads = (-q) % tile_q
         qp = jnp.pad(queries, ((0, pads), (0, 0)))
-        fn = lambda qt: brute_force_topk(qt, base, k, metric, tile_n, 0, base_sqnorms)
+        fn = lambda qt: brute_force_topk(qt, base, k, metric, tile_n, 0,
+                                         base_sqnorms, n_valid)
         dist, idx = jax.lax.map(fn, qp.reshape(-1, tile_q, d))
         return dist.reshape(-1, k)[:q], idx.reshape(-1, k)[:q]
 
     if n <= tile_n:
         dm = pairwise_distances(queries, base, metric, base_sqnorms)
+        col = jax.lax.broadcasted_iota(jnp.int32, dm.shape, 1)
+        dm = jnp.where(col < n_valid, dm, jnp.inf)
         neg_top, idx = jax.lax.top_k(-dm, min(k, n))
         if k > n:  # degenerate tiny-db case: pad
             padk = k - n
@@ -119,7 +131,7 @@ def brute_force_topk(
         # mask padded rows of the final tile
         col = jax.lax.broadcasted_iota(jnp.int32, dm.shape, 1)
         gid = col + t_idx * tile_n
-        dm = jnp.where(gid < n, dm, jnp.inf)
+        dm = jnp.where(gid < jnp.minimum(n, n_valid), dm, jnp.inf)
         neg_top, pos = jax.lax.top_k(-dm, k)
         cand_i = jnp.take_along_axis(gid, pos, axis=-1)
         return _merge_topk(best_d, best_i, -neg_top, cand_i, k), None

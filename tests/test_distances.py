@@ -61,3 +61,28 @@ def test_k_larger_than_n_pads():
     d, i = brute_force_topk(jnp.asarray(q), jnp.asarray(base), k=6, metric="l2")
     assert np.asarray(i).shape == (2, 6)
     assert (np.asarray(i)[:, 4:] == -1).all()
+
+
+def test_brute_force_n_valid_masks_tail():
+    import jax.numpy as jnp
+    from hnsw_tpu.ops.distances import brute_force_topk
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(500, 16)).astype(np.float32)
+    cap = np.zeros((800, 16), np.float32)
+    cap[:500] = base
+    cap[500:] = 100.0  # decoys beyond n_valid (would win if unmasked: ip)
+    q = rng.normal(size=(7, 16)).astype(np.float32)
+    for metric in ("l2", "ip"):
+        d_ref, i_ref = brute_force_topk(jnp.asarray(q), jnp.asarray(base),
+                                        k=5, metric=metric)
+        d_nv, i_nv = brute_force_topk(jnp.asarray(q), jnp.asarray(cap),
+                                      k=5, metric=metric, n_valid=500)
+        np.testing.assert_array_equal(np.asarray(i_ref), np.asarray(i_nv))
+        np.testing.assert_allclose(np.asarray(d_ref), np.asarray(d_nv),
+                                   rtol=1e-6)
+    # tiled path (tile_n < n) with n_valid
+    d_t, i_t = brute_force_topk(jnp.asarray(q), jnp.asarray(cap), k=5,
+                                metric="l2", tile_n=128, n_valid=500)
+    d_ref, i_ref = brute_force_topk(jnp.asarray(q), jnp.asarray(base), k=5,
+                                    metric="l2")
+    np.testing.assert_array_equal(np.asarray(i_ref), np.asarray(i_t))
