@@ -71,6 +71,20 @@ def build_layout_formats(capacity: int = 0, m0: int = 64, dim: int = 128):
     persist = capacity * (m0 * 4 + max(dim, 128) * 4)
     if persist < (3 << 30):
         return None, None
+    # Pinned layouts do NOT survive the persistent compilation cache on
+    # this backend: a cache-reloaded executable reverts to default layouts
+    # while pjit still validates against the pinned metadata — the first
+    # call then misreads its buffers and the second fails with a layout
+    # mismatch. Correctness requires fresh compiles for every pinned
+    # program, so the persistent cache is disabled for the process the
+    # moment pinning is in play (i.e. only for >3 GB-capacity builds).
+    if jax.config.jax_enable_compilation_cache:
+        import logging
+        logging.getLogger("hnsw_tpu.build").info(
+            "large-capacity build: pinned layouts in use -> disabling the "
+            "persistent compilation cache for this process (cached pinned "
+            "executables lose their layouts on reload)")
+        jax.config.update("jax_enable_compilation_cache", False)
     from jax.experimental.layout import Format, Layout
     import jax.sharding as shd
     sds = shd.SingleDeviceSharding(jax.devices()[0])
