@@ -175,7 +175,7 @@ def main():
     packed_bits = 0
     if packed_env != "0":
         bits = int(packed_env) if packed_env in ("4", "8") else 8
-        est = idx.config.capacity * idx.config.m0 * (d * bits // 8 + 4)
+        est = idx.ntotal * idx.config.m0 * (d * bits // 8 + 4)
         if packed_env in ("4", "8") or est <= 10 * 10**9:
             t0 = time.time()
             try:

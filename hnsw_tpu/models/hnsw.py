@@ -152,7 +152,7 @@ class HnswIndex:
         from ..ops.packed import pack_neighbors
         self._packed = pack_neighbors(
             self._graph.neighbors0, self._vectors, self._graph.levels,
-            bits=bits, max_bytes=max_bytes)
+            bits=bits, max_bytes=max_bytes, n_rows=max(self.ntotal, 1))
         return self._packed.nbytes
 
     def disable_packed(self) -> None:

@@ -156,19 +156,24 @@ def _assemble_rows(neighbors0: jax.Array, codes_all: jax.Array,
 def pack_neighbors(neighbors0: jax.Array, vectors: jax.Array,
                    levels: jax.Array, *, bits: int = 8,
                    max_bytes: int | None = None,
+                   n_rows: int | None = None,
                    chunk: int = 1 << 16) -> PackedNeighbors:
     """Build the packed serving tables from a finished graph.
 
     bits: 8 (one byte/dim) or 4 (two dims/byte, half the row bytes — use for
     larger capacities; routing quality drops slightly, absorbed by ef).
     max_bytes: refuse (ValueError) if the code table would exceed this.
+    n_rows: build rows only for ids < n_rows (pass ntotal: the beam only
+    ever expands inserted nodes, so preallocated-but-empty capacity needs
+    no rows — the table scales with the LIVE index, not its capacity).
     """
     if bits not in (4, 8):
         raise ValueError(f"bits must be 4 or 8, got {bits}")
     cap, m0 = neighbors0.shape
     d = vectors.shape[1]
+    n_rows = cap if n_rows is None else max(1, min(int(n_rows), cap))
     row_w = m0 * d if bits == 8 else m0 * ((d + 1) // 2)
-    total = cap * row_w + cap * m0 * 4
+    total = n_rows * row_w + n_rows * m0 * 4
     if max_bytes is not None and total > max_bytes:
         raise ValueError(
             f"packed table needs {total / 1e9:.1f} GB "
@@ -179,8 +184,9 @@ def pack_neighbors(neighbors0: jax.Array, vectors: jax.Array,
     codes_all = quantize_codes(vectors, offset, scale, bits)   # [cap, d]
     xhat_sq = jnp.sum(
         (offset + scale * codes_all.astype(jnp.float32)) ** 2, axis=1)
-    nbr_codes, nbr_sq = _assemble_rows(neighbors0, codes_all, xhat_sq,
-                                       bits=bits, chunk=min(chunk, cap))
+    nbr_codes, nbr_sq = _assemble_rows(neighbors0[:n_rows], codes_all,
+                                       xhat_sq, bits=bits,
+                                       chunk=min(chunk, n_rows))
     return PackedNeighbors(nbr_codes, nbr_sq, scale=scale, offset=offset)
 
 
