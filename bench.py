@@ -179,6 +179,7 @@ def main():
         flat = hnsw_tpu.FlatIndex(d, wl.metric)
         flat.add(base)
         _, gt = flat.search(queries, 10)
+        del flat  # release the oracle's device copy of base before packing
         _log(f"[bench] brute-force GT: {time.time()-t0:.1f}s")
 
     # ---- packed serving mode (ops/packed.py): route on neighbor-code rows
@@ -215,18 +216,29 @@ def main():
                                 device_out=True)  # compile+warm
             _sync_fetch(ii)
         except Exception as e:  # noqa: BLE001
-            if packed_bits and "RESOURCE_EXHAUSTED" in str(e):
-                # shared-tunnel co-tenant claimed HBM since the probe:
-                # drop the packed tables and continue unpacked
+            if "RESOURCE_EXHAUSTED" not in str(e):
+                raise
+            # shared-tunnel co-tenant claimed HBM since the probe: drop
+            # the packed tables (if any) and retry with backoff — tenant
+            # bursts pass
+            if packed_bits:
                 _log("[bench] RESOURCE_EXHAUSTED with packed tables — "
                      "falling back to unpacked")
                 idx.disable_packed()
                 packed_bits = 0
-                dd, ii = idx.search(queries_dev, k=10, ef_search=ef,
-                                    device_out=True)
-                _sync_fetch(ii)
-            else:
-                raise
+            for attempt in range(4):
+                time.sleep(15 * (attempt + 1))
+                try:
+                    dd, ii = idx.search(queries_dev, k=10, ef_search=ef,
+                                        device_out=True)
+                    _sync_fetch(ii)
+                    break
+                except Exception as e2:  # noqa: BLE001
+                    if ("RESOURCE_EXHAUSTED" not in str(e2)
+                            or attempt == 3):
+                        raise
+                    _log(f"[bench] still exhausted (attempt {attempt+1}) "
+                         "— backing off")
         times = []
         for _ in range(max(reps, 1)):
             t0 = time.time()
