@@ -54,22 +54,34 @@ import jax.numpy as jnp
 
 
 class PackedNeighbors(NamedTuple):
-    """Device pytree of the packed serving tables. ``bits`` is inferred from
-    the code-row width: m0*d bytes -> 8-bit, m0*d/2 -> 4-bit."""
+    """Device pytree of the packed serving tables.
 
-    nbr_codes: jax.Array  # uint8 [capacity, m0 * d * bits // 8]
-    nbr_sq: jax.Array     # f32   [capacity, m0]   ||x̂||² of each neighbor
+    ``nbr_codes`` is deliberately ONE-dimensional (row r occupies
+    [r*row_w, (r+1)*row_w)): a 1-D uint8 array has a single linear layout,
+    so the producer (_assemble_rows) and every consumer program trivially
+    agree. As a [rows, row_w] 2-D array, XLA's auto-layout chose different
+    (8,128)-tiled layouts for the producer output and the search program's
+    entry at some shapes, and jax then silently RELAYOUTED the argument at
+    dispatch — an extra full-table copy (8.2 GB at 1M x 128) that
+    HBM-OOM'd the search. Row width is inferred via nbr_sq's row count."""
+
+    nbr_codes: jax.Array  # uint8 [rows * row_w], row_w = m0 * d * bits // 8
+    nbr_sq: jax.Array     # f32   [rows, m0]   ||x̂||² of each neighbor
     scale: jax.Array      # f32   [d]   per-dim dequant scale
     offset: jax.Array     # f32   [d]   per-dim dequant offset
 
+    @property
+    def row_w(self) -> int:
+        return self.nbr_codes.size // self.nbr_sq.shape[0]
+
     def bits_for(self, d: int, m0: int) -> int:
-        w = self.nbr_codes.shape[1]
+        w = self.row_w
         if w == m0 * d:
             return 8
-        if w == (m0 * d + 1) // 2:
+        if w == m0 * ((d + 1) // 2):
             return 4
         raise ValueError(f"packed row width {w} matches neither 8-bit "
-                         f"({m0 * d}) nor 4-bit ({(m0 * d + 1) // 2})")
+                         f"({m0 * d}) nor 4-bit ({m0 * ((d + 1) // 2)})")
 
     @property
     def nbytes(self) -> int:
@@ -132,7 +144,9 @@ def _assemble_rows(neighbors0: jax.Array, codes_all: jax.Array,
     pad_cap = n_chunks * chunk
     nb = jnp.pad(neighbors0, ((0, pad_cap - cap), (0, 0)))
 
-    out_codes = jnp.zeros((pad_cap, row_w), jnp.uint8)
+    # 1-D code buffer: single linear layout by construction (see
+    # PackedNeighbors docstring)
+    out_codes = jnp.zeros((pad_cap * row_w,), jnp.uint8)
     out_sq = jnp.zeros((pad_cap, m0), jnp.float32)
 
     def body(i, carry):
@@ -142,15 +156,15 @@ def _assemble_rows(neighbors0: jax.Array, codes_all: jax.Array,
         nc = codes_all[safe]                      # [chunk, m0, d] uint8
         if bits == 4:
             nc = _pack_nibbles(nc)
-        nc = nc.reshape(chunk, row_w)
+        nc = nc.reshape(chunk * row_w)
         nsq = sq_all[safe]                        # [chunk, m0]
-        oc = jax.lax.dynamic_update_slice(oc, nc, (i * chunk, 0))
+        oc = jax.lax.dynamic_update_slice(oc, nc, (i * chunk * row_w,))
         osq = jax.lax.dynamic_update_slice(osq, nsq, (i * chunk, 0))
         return oc, osq
 
     out_codes, out_sq = jax.lax.fori_loop(0, n_chunks, body,
                                           (out_codes, out_sq))
-    return out_codes[:cap], out_sq[:cap]
+    return out_codes[:cap * row_w], out_sq[:cap]
 
 
 def pack_neighbors(neighbors0: jax.Array, vectors: jax.Array,
@@ -208,13 +222,23 @@ def make_packed_expand(packed: PackedNeighbors, neighbors0: jax.Array,
     shift = qoff if metric == IP else 2.0 * qoff
     m0 = neighbors0.shape[1]
     d = qf.shape[1]
+    row_w = packed.row_w
 
     def expand(cur: jax.Array, step_ok: jax.Array):
         safe = jnp.where(step_ok, cur, 0)
         nbrs = neighbors0[safe]                       # [Q, T, m0]
-        rows = packed.nbr_codes[safe]                 # [Q, T, row_w] uint8
         qn, t = safe.shape
-        if rows.shape[-1] == m0 * d:
+        # row fetch from the 1-D code buffer: one contiguous row_w-byte
+        # slice per expanded node (same access pattern as a 2-D row gather,
+        # without 2-D tiled-layout ambiguity — see PackedNeighbors)
+        starts = (safe.reshape(-1, 1) * row_w).astype(jnp.int32)
+        rows = jax.lax.gather(
+            packed.nbr_codes, starts,
+            jax.lax.GatherDimensionNumbers(
+                offset_dims=(1,), collapsed_slice_dims=(),
+                start_index_map=(0,)),
+            slice_sizes=(row_w,), mode="clip")        # [Q*T, row_w]
+        if row_w == m0 * d:
             u = rows.reshape(qn, t, m0, d)
         else:
             u = unpack_nibbles(rows.reshape(qn, t, m0, -1), d)
