@@ -131,18 +131,24 @@ def unpack_nibbles(rows: jax.Array, d: int) -> jax.Array:
     return out[..., :d]
 
 
-@functools.partial(jax.jit, static_argnames=("bits", "chunk"))
+@functools.partial(jax.jit, static_argnames=("bits", "chunk", "n_rows"))
 def _assemble_rows(neighbors0: jax.Array, codes_all: jax.Array,
-                   sq_all: jax.Array, *, bits: int, chunk: int):
+                   sq_all: jax.Array, *, bits: int, chunk: int,
+                   n_rows: int):
     """Gather each node's neighbor codes/sqnorms into contiguous rows,
-    chunked through a fori_loop so the [cap, m0, d] intermediate never
-    materializes (the output alone is GBs)."""
-    cap, m0 = neighbors0.shape
+    chunked through a fori_loop so the [rows, m0, d] intermediate never
+    materializes (the output alone is GBs).
+
+    The output keeps the chunk-aligned padded row count (<= chunk-1 junk
+    rows, never gathered since node ids < n_rows): trimming with a final
+    slice would COPY the multi-GB table — the pad-then-slice transient is
+    what used to push a 1M x 128 pack from 9 GB to HBM exhaustion."""
+    m0 = neighbors0.shape[1]
     d = codes_all.shape[1]
     row_w = m0 * d if bits == 8 else m0 * ((d + 1) // 2)
-    n_chunks = (cap + chunk - 1) // chunk
+    n_chunks = (n_rows + chunk - 1) // chunk
     pad_cap = n_chunks * chunk
-    nb = jnp.pad(neighbors0, ((0, pad_cap - cap), (0, 0)))
+    nb = jnp.pad(neighbors0[:n_rows], ((0, pad_cap - n_rows), (0, 0)))
 
     # 1-D code buffer: single linear layout by construction (see
     # PackedNeighbors docstring)
@@ -162,9 +168,7 @@ def _assemble_rows(neighbors0: jax.Array, codes_all: jax.Array,
         osq = jax.lax.dynamic_update_slice(osq, nsq, (i * chunk, 0))
         return oc, osq
 
-    out_codes, out_sq = jax.lax.fori_loop(0, n_chunks, body,
-                                          (out_codes, out_sq))
-    return out_codes[:cap * row_w], out_sq[:cap]
+    return jax.lax.fori_loop(0, n_chunks, body, (out_codes, out_sq))
 
 
 def pack_neighbors(neighbors0: jax.Array, vectors: jax.Array,
@@ -198,9 +202,9 @@ def pack_neighbors(neighbors0: jax.Array, vectors: jax.Array,
     codes_all = quantize_codes(vectors, offset, scale, bits)   # [cap, d]
     xhat_sq = jnp.sum(
         (offset + scale * codes_all.astype(jnp.float32)) ** 2, axis=1)
-    nbr_codes, nbr_sq = _assemble_rows(neighbors0[:n_rows], codes_all,
-                                       xhat_sq, bits=bits,
-                                       chunk=min(chunk, n_rows))
+    nbr_codes, nbr_sq = _assemble_rows(neighbors0, codes_all, xhat_sq,
+                                       bits=bits, chunk=min(chunk, n_rows),
+                                       n_rows=n_rows)
     return PackedNeighbors(nbr_codes, nbr_sq, scale=scale, offset=offset)
 
 
