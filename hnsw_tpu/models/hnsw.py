@@ -101,11 +101,22 @@ class HnswIndex:
             raise ValueError("capacity exceeded; create the index with a "
                              "larger `capacity` (device arrays are "
                              "preallocated, SURVEY.md §7 hard-part 5)")
-        self._packed = None  # graph changes invalidate the packed tables
+        # packed serving tables: maintained INCREMENTALLY across device
+        # adds (ROADMAP item 7) — adjacency-row fingerprints taken before
+        # the build identify exactly the rows to re-pack afterwards. Note
+        # the tables stay HBM-resident during the build; memory-constrained
+        # callers should disable_packed() first.
+        packed_was, fp_old, old_ntotal = self._packed, None, self.ntotal
+        if packed_was is not None and self.build_mode == "device":
+            from ..ops.packed import row_fingerprints
+            fp_old = row_fingerprints(self._graph.neighbors0)
+        self._packed = None  # invalidated unless the refresh below succeeds
         if self.build_mode == "host":
             self._add_host(x)
         else:
             self._add_device(x)
+            if fp_old is not None:
+                self._refresh_packed(packed_was, fp_old, old_ntotal)
 
     def _add_host(self, x: np.ndarray) -> None:
         if self._host is None:
@@ -139,21 +150,84 @@ class HnswIndex:
             self._graph, self._vectors, self._sqnorms = g, v, s
 
     # -- packed serving mode (ops/packed.py) ----------------------------------
-    def enable_packed(self, bits: int = 8, *, max_bytes: int | None = None
-                      ) -> int:
+    def enable_packed(self, bits: int = 8, *, max_bytes: int | None = None,
+                      reserve: int = 0, chunk: int = 1 << 16) -> int:
         """Build packed neighbor-code tables: the level-0 beam then routes on
         quantized distances read from ONE fat row per expanded node (~3 HBM
         transactions per hop instead of ~1 + M_max0), with an exact f32
         rerank of the final ef buffer. Trades memory for transactions:
-        costs capacity * m0 * d * bits/8 bytes of HBM (``bits``: 8 or 4).
-        Returns the packed table size in bytes. Any subsequent ``add()``
-        invalidates the tables (re-enable after building). Tombstoned ids
-        keep working: deletion filters results, not routing."""
+        costs ntotal * m0 * d * bits/8 bytes of HBM (``bits``: 8 or 4).
+        Returns the packed table size in bytes.
+
+        Subsequent device-mode ``add()`` calls MAINTAIN the tables
+        incrementally (only rows whose adjacency changed are re-packed, see
+        ``_refresh_packed``) as long as the new total fits the table's row
+        headroom — ``reserve`` provisions extra rows for exactly that
+        (beyond the free headroom from ``chunk``-alignment); past it, adds
+        fall back to a full re-pack. Tombstoned ids keep working: deletion
+        filters results, not routing."""
         from ..ops.packed import pack_neighbors
+        n_rows = min(self.config.capacity, max(self.ntotal, 1) + max(reserve, 0))
         self._packed = pack_neighbors(
             self._graph.neighbors0, self._vectors, self._graph.levels,
-            bits=bits, max_bytes=max_bytes, n_rows=max(self.ntotal, 1))
+            bits=bits, max_bytes=max_bytes, n_rows=n_rows, chunk=chunk)
+        # remembered for incremental-era full rebuilds (_refresh_packed)
+        self._packed_opts = (bits, max_bytes, reserve, chunk)
         return self._packed.nbytes
+
+    def _refresh_packed(self, packed, fp_old, old_ntotal: int) -> None:
+        """Post-add() packed-table maintenance: re-pack exactly the rows the
+        build modified (fingerprint diff + the new ids), falling back to a
+        full re-pack when that's cheaper or the table ran out of padded
+        rows. Leaves the index unpacked only if re-packing itself fails."""
+        import logging
+        from ..ops.packed import row_fingerprints, update_packed_rows
+        log = logging.getLogger("hnsw_tpu")
+        bits, max_bytes, reserve, chunk = getattr(
+            self, "_packed_opts",
+            (packed.bits_for(self.config.dim, self.config.m0),
+             None, 0, 1 << 16))
+        n = self.ntotal
+        try:
+            pad_cap = packed.nbr_sq.shape[0]
+            rebuild = n > pad_cap
+            ids = None
+            if not rebuild:
+                fp_new = row_fingerprints(self._graph.neighbors0)
+                changed = jnp.any(fp_old != fp_new, axis=1)
+                # np.array (copy): asarray views jax buffers READ-ONLY and
+                # the in-place marking below would raise
+                changed = np.array(changed[:n])
+                changed[old_ntotal:] = True        # new rows always re-pack
+                ids = np.flatnonzero(changed).astype(np.int32)
+                rebuild = len(ids) > max(n // 4, 50_000)
+            if rebuild:
+                packed = None  # free the old table BEFORE building anew
+                self.enable_packed(bits=bits, max_bytes=max_bytes,
+                                   reserve=reserve, chunk=chunk)
+                log.info("packed tables fully re-packed after add() "
+                         "(incremental not worthwhile)")
+                return
+            codes, sq = packed.nbr_codes, packed.nbr_sq
+            offset, scale = packed.offset, packed.scale
+            packed = None  # donation below deletes codes/sq buffers
+            CH = 4096
+            for i in range(0, len(ids), CH):
+                chunk = np.full((CH,), -1, np.int32)
+                part = ids[i:i + CH]
+                chunk[:len(part)] = part
+                codes, sq = update_packed_rows(
+                    codes, sq, self._graph.neighbors0, self._vectors,
+                    offset, scale, jnp.asarray(chunk), bits=bits)
+            from ..ops.packed import PackedNeighbors
+            self._packed = PackedNeighbors(codes, sq, scale=scale,
+                                           offset=offset)
+            log.info("packed tables incrementally updated after add(): "
+                     "%d rows re-packed", len(ids))
+        except Exception as e:  # noqa: BLE001 — serving must not lose adds
+            log.warning("packed-table refresh failed (%r); packed mode "
+                        "disabled — call enable_packed() to restore", e)
+            self._packed = None
 
     def disable_packed(self) -> None:
         self._packed = None
@@ -179,10 +253,11 @@ class HnswIndex:
 
         ``max_hops``: level-0 hop budget, a runtime knob (no recompile).
         0 (default) = auto cap at ef_search + 8 (<= 0.1% recall delta,
-        ~1.5x throughput vs full convergence — see hnsw_tpu.search);
+        ~1.5x throughput vs full convergence — see hnsw_tpu.search) for
+        unfiltered searches; filtered searches (``allowed``/tombstones)
+        default to full convergence, where truncation costs real recall.
         < 0 = run to convergence (faiss-exact termination); > 0 = explicit
-        cap. When filtering aggressively, raise ef_search (which raises the
-        auto cap with it) or pass max_hops=-1.
+        cap (applies to filtered searches too).
 
         ``use_packed``: None (default) routes via the packed neighbor-code
         tables when ``enable_packed()`` has been called; False bypasses them

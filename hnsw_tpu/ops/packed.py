@@ -164,7 +164,16 @@ def _assemble_rows(neighbors0: jax.Array, codes_all: jax.Array,
             nc = _pack_nibbles(nc)
         nc = nc.reshape(chunk * row_w)
         nsq = sq_all[safe]                        # [chunk, m0]
-        oc = jax.lax.dynamic_update_slice(oc, nc, (i * chunk * row_w,))
+        # the 1-D code-buffer offset exceeds int32 once the table crosses
+        # 2^31 bytes (chunk 17 at row_w=8192): compute it in 64-bit. The
+        # scoped x64 context makes lax accept s64 here without flipping
+        # process-wide dtype semantics; verified supported on the TPU
+        # backend (round-3 session probe) and regression-tested across the
+        # boundary in tests/test_packed.py::test_big_table_boundary.
+        with jax.enable_x64(True):
+            off = jax.lax.convert_element_type(i, jnp.int64) \
+                * jnp.int64(chunk) * jnp.int64(row_w)
+            oc = jax.lax.dynamic_update_slice(oc, nc, (off,))
         osq = jax.lax.dynamic_update_slice(osq, nsq, (i * chunk, 0))
         return oc, osq
 
@@ -191,7 +200,11 @@ def pack_neighbors(neighbors0: jax.Array, vectors: jax.Array,
     d = vectors.shape[1]
     n_rows = cap if n_rows is None else max(1, min(int(n_rows), cap))
     row_w = m0 * d if bits == 8 else m0 * ((d + 1) // 2)
-    total = n_rows * row_w + n_rows * m0 * 4
+    # budget against what _assemble_rows actually allocates: the
+    # chunk-aligned padded row count (up to chunk-1 rows beyond n_rows)
+    eff_chunk = min(chunk, n_rows)
+    pad_cap = ((n_rows + eff_chunk - 1) // eff_chunk) * eff_chunk
+    total = pad_cap * row_w + pad_cap * m0 * 4
     if max_bytes is not None and total > max_bytes:
         raise ValueError(
             f"packed table needs {total / 1e9:.1f} GB "
@@ -203,9 +216,80 @@ def pack_neighbors(neighbors0: jax.Array, vectors: jax.Array,
     xhat_sq = jnp.sum(
         (offset + scale * codes_all.astype(jnp.float32)) ** 2, axis=1)
     nbr_codes, nbr_sq = _assemble_rows(neighbors0, codes_all, xhat_sq,
-                                       bits=bits, chunk=min(chunk, n_rows),
+                                       bits=bits, chunk=eff_chunk,
                                        n_rows=n_rows)
     return PackedNeighbors(nbr_codes, nbr_sq, scale=scale, offset=offset)
+
+
+@functools.partial(jax.jit, static_argnames=("bits",), donate_argnums=(0, 1))
+def update_packed_rows(nbr_codes: jax.Array, nbr_sq: jax.Array,
+                       neighbors0: jax.Array, vectors: jax.Array,
+                       offset: jax.Array, scale: jax.Array,
+                       ids: jax.Array, *, bits: int):
+    """Rewrite the packed rows of ``ids`` (int32 [U], -1 = pad/skip) from the
+    CURRENT adjacency + vectors, keeping the existing quantization params.
+    The incremental counterpart of ``_assemble_rows`` for post-``add()``
+    maintenance (ROADMAP item 7): only rows whose adjacency changed are
+    touched, so a serving index absorbs small inserts without the full
+    multi-GB rebuild. Returns (nbr_codes, nbr_sq) updated.
+
+    Quantization params are NOT retrained: vectors added later that exceed
+    the trained per-dim [min, max] range have their ROUTING codes clipped
+    (the exact f32 rerank is unaffected). Callers that add a large or
+    distribution-shifted fraction should re-pack from scratch instead —
+    HnswIndex picks between the two automatically."""
+    m0 = neighbors0.shape[1]
+    d = vectors.shape[1]
+    row_w = m0 * d if bits == 8 else m0 * ((d + 1) // 2)
+    u = ids.shape[0]
+    ok = ids >= 0
+    safe = jnp.maximum(ids, 0)
+    rows = jnp.maximum(neighbors0[safe], 0)            # [U, m0]
+    nv = vectors[rows].astype(jnp.float32)             # [U, m0, d]
+    nc = quantize_codes(nv, offset, scale, bits)
+    nsq = jnp.sum((offset + scale * nc.astype(jnp.float32)) ** 2, axis=-1)
+    if bits == 4:
+        nc = _pack_nibbles(nc)
+    upd = nc.reshape(u, row_w)
+    n_rows = nbr_sq.shape[0]
+    # 64-bit scatter starts (same overflow hazard as the gather — see
+    # make_packed_expand); pad ids scatter out of bounds and are dropped
+    with jax.enable_x64(True):
+        starts = jax.lax.convert_element_type(
+            jnp.where(ok, safe, n_rows), jnp.int64).reshape(-1, 1) \
+            * jnp.int64(row_w)
+        nbr_codes = jax.lax.scatter(
+            nbr_codes, starts, upd,
+            jax.lax.ScatterDimensionNumbers(
+                update_window_dims=(1,), inserted_window_dims=(),
+                scatter_dims_to_operand_dims=(0,)),
+            mode="drop")
+    nbr_sq = nbr_sq.at[jnp.where(ok, safe, n_rows)].set(nsq, mode="drop")
+    return nbr_codes, nbr_sq
+
+
+@jax.jit
+def row_fingerprints(neighbors0: jax.Array) -> jax.Array:
+    """Two independent 32-bit position-salted hashes per adjacency row,
+    [capacity, 2] uint32. Lets a caller detect WHICH rows an add() modified
+    by comparing before/after fingerprints — without holding a second copy
+    of the adjacency (256 MB at 1M x 64) across the build. Collision odds
+    per changed row are ~2^-64 (two independent avalanche mixes)."""
+    x = neighbors0.astype(jnp.uint32)
+    pos = jnp.arange(x.shape[1], dtype=jnp.uint32)
+
+    def mix(v, m1, m2):
+        v = v ^ (v >> 16)
+        v = v * jnp.uint32(m1)
+        v = v ^ (v >> 15)
+        v = v * jnp.uint32(m2)
+        return v ^ (v >> 16)
+
+    h1 = jnp.sum(mix(x ^ (pos * jnp.uint32(0x9E3779B9)),
+                     0x7FEB352D, 0x846CA68B), axis=1)
+    h2 = jnp.sum(mix(x ^ (pos * jnp.uint32(0x85EBCA6B)),
+                     0xC2B2AE35, 0x27D4EB2F), axis=1)
+    return jnp.stack([h1, h2], axis=1)
 
 
 def make_packed_expand(packed: PackedNeighbors, neighbors0: jax.Array,
@@ -234,8 +318,13 @@ def make_packed_expand(packed: PackedNeighbors, neighbors0: jax.Array,
         qn, t = safe.shape
         # row fetch from the 1-D code buffer: one contiguous row_w-byte
         # slice per expanded node (same access pattern as a 2-D row gather,
-        # without 2-D tiled-layout ambiguity — see PackedNeighbors)
-        starts = (safe.reshape(-1, 1) * row_w).astype(jnp.int32)
+        # without 2-D tiled-layout ambiguity — see PackedNeighbors).
+        # Offsets MUST be 64-bit: id * row_w crosses 2^31 at node 262,144
+        # for row_w=8192 — the round-2 int32 overflow that silently clip-
+        # gathered wrong rows for 75% of a 1M index (VERDICT.md Weak #1).
+        with jax.enable_x64(True):
+            starts = jax.lax.convert_element_type(
+                safe.reshape(-1, 1), jnp.int64) * jnp.int64(row_w)
         rows = jax.lax.gather(
             packed.nbr_codes, starts,
             jax.lax.GatherDimensionNumbers(
