@@ -79,17 +79,29 @@ def build_layout_formats(capacity: int = 0, m0: int = 64, dim: int = 128):
     # program, so the persistent cache is disabled for the process the
     # moment pinning is in play (i.e. only for >3 GB-capacity builds).
     if jax.config.jax_enable_compilation_cache:
-        import logging
-        logging.getLogger("hnsw_tpu.build").info(
-            "large-capacity build: pinned layouts in use -> disabling the "
+        logger.warning(
+            "large-capacity index: pinned layouts in use -> disabling the "
             "persistent compilation cache for this process (cached pinned "
-            "executables lose their layouts on reload)")
+            "executables lose their layouts on reload). Unrelated JAX work "
+            "in this process recompiles from scratch; call "
+            "hnsw_tpu.build.restore_compilation_cache() after freeing the "
+            "index to undo.")
         jax.config.update("jax_enable_compilation_cache", False)
     from jax.experimental.layout import Format, Layout
     import jax.sharding as shd
     sds = shd.SingleDeviceSharding(jax.devices()[0])
     rm2 = Format(Layout(major_to_minor=(0, 1)), sds)
     return rm2, rm2
+
+
+def restore_compilation_cache() -> None:
+    """Re-enable the persistent compilation cache after the last pinned-
+    layout index in this process is freed (build_layout_formats disables it
+    for >3 GB capacities — see its docstring). Safe to call anytime; pinned
+    programs compiled AFTER this call risk the stale-layout reload bug, so
+    only call once large-capacity index work is done."""
+    if not jax.config.jax_enable_compilation_cache:
+        jax.config.update("jax_enable_compilation_cache", True)
 
 
 def to_build_layout(graph: GraphArrays, vectors: jax.Array):
@@ -211,14 +223,14 @@ def _insert_batch(
     levels_up = levels[:b_up]
 
     def level_step(i, carry):
-        upper_adj, e_up, e_d_up = carry
+        upper_adj, e_up, e_d_up, drops = carry
         level = cfg.max_level_cap - i          # L_cap .. 1
         lidx = level - 1
         active = (levels_up >= 0) & (level <= levels_up) & \
             (level <= graph.max_level)
 
         def work(operands):
-            upper_adj, e_up, e_d_up = operands
+            upper_adj, e_up, e_d_up, drops = operands
             adj_l = jax.lax.dynamic_index_in_dim(upper_adj, lidx, axis=1,
                                                  keepdims=False)  # [U, m]
 
@@ -252,7 +264,7 @@ def _insert_batch(
             pair_ok = (dst >= 0) & jnp.broadcast_to(
                 active[:, None], kept.shape).reshape(-1)
             dst_rows = jnp.where(pair_ok, new_uslot[jnp.maximum(dst, 0)], -1)
-            adj_l = apply_backlinks(
+            adj_l, ndrop = apply_backlinks(
                 adj_l, jnp.maximum(dst_rows, 0), dst, src,
                 pair_ok & (dst_rows >= 0), vectors,
                 r_window=r_window, metric=metric)
@@ -262,14 +274,16 @@ def _insert_batch(
             # entries for the next level: nearest candidate found here
             e2 = jnp.where(active, buf_ids_d[:, 0], e_up)
             e_d2 = jnp.where(active, buf_dist_d[:, 0], e_d_up)
-            return upper_adj2, e2, e_d2
+            return upper_adj2, e2, e_d2, drops + ndrop
 
-        return jax.lax.cond(jnp.any(active), work, lambda o: o,
-                            (upper_adj, e_up, e_d_up))
+        return jax.lax.cond(jnp.any(active), work,
+                            lambda o: o,
+                            (upper_adj, e_up, e_d_up, drops))
 
-    upper_adj, e_up, e_d_up = jax.lax.fori_loop(
+    upper_adj, e_up, e_d_up, bl_dropped = jax.lax.fori_loop(
         0, cfg.max_level_cap, level_step,
-        (graph.upper_neighbors, e[:b_up], e_d[:b_up]))
+        (graph.upper_neighbors, e[:b_up], e_d[:b_up],
+         jnp.asarray(0, jnp.int32)))
     e = jnp.concatenate([e_up, e[b_up:]])
     e_d = jnp.concatenate([e_d_up, e_d[b_up:]])
 
@@ -317,12 +331,13 @@ def _insert_batch(
     src = jnp.broadcast_to(ids_safe[:, None], kept0.shape).reshape(-1)
     pair_ok = (dst >= 0) & jnp.broadcast_to(valid_p[:, None],
                                             kept0.shape).reshape(-1)
-    neighbors0 = apply_backlinks(
+    neighbors0, ndrop0 = apply_backlinks(
         neighbors0, jnp.maximum(dst, 0), dst, src, pair_ok, vectors,
         r_window=r_window, metric=metric)
+    bl_dropped = bl_dropped + ndrop0
 
     graph = graph._replace(neighbors0=neighbors0, upper_neighbors=upper_adj)
-    return graph, vectors, sqnorms
+    return graph, vectors, sqnorms, bl_dropped
 
 
 def _insert_batch_staged(
@@ -360,7 +375,7 @@ def _insert_batch_staged(
     levels = jnp.where(live, levels, -1)
     slots = jnp.where(live, slots, -1)
 
-    graph, vectors, sqnorms = _insert_batch(
+    graph, vectors, sqnorms, bl_dropped = _insert_batch(
         graph, vectors, sqnorms, xb, ids, levels, slots, cfg=cfg,
         ef_construction=ef_construction, intra_k=intra_k,
         r_window=r_window, n_expand=n_expand, hop_cap=hop_cap)
@@ -377,7 +392,7 @@ def _insert_batch_staged(
                            max_level=new_max.astype(jnp.int32),
                            ntotal=new_ntotal.astype(jnp.int32),
                            n_upper=new_nupper.astype(jnp.int32))
-    return graph, vectors, sqnorms
+    return graph, vectors, sqnorms, bl_dropped
 
 
 class DeviceBuilder:
@@ -413,6 +428,10 @@ class DeviceBuilder:
         self.n_expand = n_expand
         self.hop_cap = hop_cap
         self._steps: dict = {}
+        # back-link pairs beyond the repair R-window, lost per add() call /
+        # lifetime (observability for ops/repair.py's "rare" claim)
+        self.last_backlink_dropped = 0
+        self.backlink_dropped_total = 0
 
     def _draw_levels(self, n: int) -> np.ndarray:
         u = self.rng.random(n)
@@ -456,7 +475,7 @@ class DeviceBuilder:
                 kw = dict(
                     in_shardings=(g_fmt, rm2, None, None, None, None, None,
                                   None, None),
-                    out_shardings=(g_fmt, rm2, None))
+                    out_shardings=(g_fmt, rm2, None, None))
             self._steps[key] = jax.jit(
                 functools.partial(_insert_batch_staged, size=size,
                                   cfg=self.cfg,
@@ -487,14 +506,14 @@ class DeviceBuilder:
                       offsets, takes):
                 def step(carry, ot):
                     g, v, sq = carry
-                    g, v, sq = body(g, v, sq, xs, ids_s, lv_s, sl_s,
-                                    ot[0], ot[1])
-                    return (g, v, sq), ()
+                    g, v, sq, nd = body(g, v, sq, xs, ids_s, lv_s, sl_s,
+                                        ot[0], ot[1])
+                    return (g, v, sq), nd
 
-                (graph, vectors, sqnorms), _ = jax.lax.scan(
+                (graph, vectors, sqnorms), nds = jax.lax.scan(
                     step, (graph, vectors, sqnorms),
                     jnp.stack([offsets, takes], axis=1))
-                return graph, vectors, sqnorms
+                return graph, vectors, sqnorms, jnp.sum(nds)
 
             g_fmt, rm2 = self._layout_formats()
             kw = {}
@@ -502,7 +521,7 @@ class DeviceBuilder:
                 kw = dict(
                     in_shardings=(g_fmt, rm2, None, None, None, None, None,
                                   None, None),
-                    out_shardings=(g_fmt, rm2, None))
+                    out_shardings=(g_fmt, rm2, None, None))
             self._steps[key] = jax.jit(chunk, donate_argnums=(0, 1, 2), **kw)
         return self._steps[key]
 
@@ -630,6 +649,7 @@ class DeviceBuilder:
         t_start = time.time()
         last_log = t_start
         done = 0
+        drops_dev = jnp.asarray(0, jnp.int32)  # back-link window drops
 
         def log_progress():
             nonlocal last_log
@@ -661,18 +681,20 @@ class DeviceBuilder:
                 chunk = batches[bi:bi + self.SCAN_CHUNK]
                 offs = jnp.asarray([b[0] for b in chunk], jnp.int32)
                 takes = jnp.asarray([b[1] for b in chunk], jnp.int32)
-                graph, vectors, sqnorms = self._get_scan(efc, size)(
+                graph, vectors, sqnorms, nd = self._get_scan(efc, size)(
                     graph, vectors, sqnorms, xs, ids_s, lv_s, sl_s,
                     offs, takes)
+                drops_dev = drops_dev + nd
                 done += sum(b[1] for b in chunk)
                 bi += self.SCAN_CHUNK
                 # natural sync point: bounds async runahead (observed wedges
                 # when hundreds of batches were dispatched ahead)
                 jax.block_until_ready(graph.entry_point)
             else:
-                graph, vectors, sqnorms = self._get_step(efc, size)(
+                graph, vectors, sqnorms, nd = self._get_step(efc, size)(
                     graph, vectors, sqnorms, xs, ids_s, lv_s, sl_s,
                     np.int32(off), np.int32(take))
+                drops_dev = drops_dev + nd
                 done += take
                 bi += 1
                 if bi % 16 == 0:
@@ -685,4 +707,13 @@ class DeviceBuilder:
         # are still executing and wall-clock accounting lands on the next
         # device sync instead (e.g. inside save or search)
         jax.block_until_ready(graph.neighbors0)
+        self.last_backlink_dropped = int(drops_dev)
+        self.backlink_dropped_total += self.last_backlink_dropped
+        if self.last_backlink_dropped:
+            logger.info(
+                "back-link repair: %d pairs beyond the r_window=%d cap were "
+                "dropped this add() (%.4f%% of ~%d forward links)",
+                self.last_backlink_dropped, self.r_window,
+                100.0 * self.last_backlink_dropped / max(len(x) * cfg.m, 1),
+                len(x) * cfg.m)
         return graph, vectors, sqnorms

@@ -150,17 +150,22 @@ def check_invariants(graph: GraphArrays, cfg: HnswConfig,
         if n > 1 and stats["isolated0"] > 0:
             errors.append(f"{stats['isolated0']} isolated nodes at level 0")
         # reciprocity rate (diagnostic, not an error: the heuristic legally
-        # prunes one direction, same as faiss shrink_neighbor_list)
-        edges = set()
-        rec = 0
-        tot = 0
-        for i in range(n):
-            for j in nbr0[i][valid0[i]]:
-                edges.add((i, int(j)))
-        for (i, j) in edges:
-            tot += 1
-            rec += (j, i) in edges
-        stats["reciprocity0"] = rec / max(tot, 1)
+        # prunes one direction, same as faiss shrink_neighbor_list).
+        # Vectorized (VERDICT.md r2 Weak #7): sorted int64 edge keys +
+        # searchsorted membership — runs at 1M x 64 in seconds, so the check
+        # is usable as a post-build canary at bench scale.
+        src = np.broadcast_to(np.arange(n, dtype=np.int64)[:, None],
+                              nbr0.shape)[valid0]
+        dstv = nbr0[valid0].astype(np.int64)
+        keys = np.sort(src * n + dstv)
+        # sort the reverse keys too: sorted-query searchsorted is ~10x
+        # faster than random-order (cache locality), and the rate is
+        # order-invariant
+        rev = np.sort(dstv * n + src)
+        pos = np.searchsorted(keys, rev)
+        found = (pos < len(keys)) & \
+            (keys[np.minimum(pos, max(len(keys) - 1, 0))] == rev)
+        stats["reciprocity0"] = float(found.mean()) if len(keys) else 1.0
 
         ep = int(g["entry_point"])
         if not (0 <= ep < n):
@@ -179,22 +184,34 @@ def check_invariants(graph: GraphArrays, cfg: HnswConfig,
             has_upper = g["levels"][:n] >= 1
             if int(has_upper.sum()) != nu:
                 errors.append("n_upper != #nodes with level>=1")
-        for s in range(nu):
-            node = int(up_nodes[s])
-            lvl = int(g["levels"][node])
-            for l in range(1, min(lvl, cfg.max_level_cap) + 1):
-                lst = g["upper_neighbors"][s, l - 1]
-                lst = lst[lst >= 0]
-                if (lst >= n).any():
-                    errors.append(f"dangling upper neighbor at node {node} lvl {l}")
-                    break
-                if (g["levels"][lst] < l).any():
+        # upper-level adjacency, vectorized per level (<= max_level_cap
+        # iterations regardless of graph size)
+        if nu and not (up_nodes < 0).any() and not (up_nodes >= n).any():
+            node_lv = g["levels"][np.clip(up_nodes, 0, n - 1)]
+            for l in range(1, cfg.max_level_cap + 1):
+                act = node_lv >= l                      # [nu] rows live at l
+                if not act.any():
+                    continue
+                rows = g["upper_neighbors"][:nu, l - 1][act]   # [A, m]
+                own = up_nodes[act][:, None]
+                v = rows >= 0
+                if (rows[v] >= n).any():
+                    bad = up_nodes[act][np.any(v & (rows >= n), axis=1)]
                     errors.append(
-                        f"upper neighbor below its level at node {node} lvl {l}")
-                    break
-                if (lst == node).any():
-                    errors.append(f"self-link at node {node} lvl {l}")
-                    break
+                        f"dangling upper neighbor at lvl {l} "
+                        f"(e.g. node {int(bad[0])})")
+                    continue
+                if (g["levels"][rows[v]] < l).any():
+                    bad = up_nodes[act][np.any(
+                        v & (g["levels"][np.maximum(rows, 0)] < l), axis=1)]
+                    errors.append(
+                        f"upper neighbor below its level at lvl {l} "
+                        f"(e.g. node {int(bad[0])})")
+                    continue
+                if (v & (rows == own)).any():
+                    bad = up_nodes[act][np.any(v & (rows == own), axis=1)]
+                    errors.append(
+                        f"self-link at lvl {l} (e.g. node {int(bad[0])})")
 
     stats["errors"] = errors
     if strict and errors:

@@ -19,7 +19,11 @@ data-parallel pass, so there is nothing to race on:
 
 Incoming sources beyond the R-window are dropped for this batch (they simply
 lose one back-link, exactly as faiss's heuristic would likely prune a
-64-fan-in hub anyway); R is sized so this is rare at sane batch sizes.
+64-fan-in hub anyway); R is sized so this is rare at sane batch sizes — and
+the drop count is RETURNED so callers can observe rather than trust that
+claim (VERDICT.md r2 Weak #8): DeviceBuilder accumulates it per build and
+logs it; measured at the 1M north-star config the rate is recorded in
+ARCHITECTURE.md.
 """
 
 from __future__ import annotations
@@ -44,8 +48,11 @@ def apply_backlinks(
     *,
     r_window: int = 16,
     metric: str = L2,
-) -> jax.Array:
-    """Returns the updated adjacency table."""
+):
+    """Returns (updated adjacency table, n_dropped) where n_dropped counts
+    valid pairs beyond the R-window of their destination group — back-links
+    silently lost this batch (observability: VERDICT.md r2 Weak #8; pairs
+    that were window-reachable but duplicate-suppressed are NOT drops)."""
     P = dst_rows.shape[0]
     W = adj.shape[1]
     n_rows = adj.shape[0]
@@ -62,6 +69,12 @@ def apply_backlinks(
     prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), sdst_row[:-1]])
     svalid = sdst_row < big
     first = svalid & (sdst_row != prev)
+
+    # drop observability: a pair whose rank within its destination group is
+    # >= R never enters any window below
+    group_start = jax.lax.cummax(jnp.where(first, pos, -1))
+    n_dropped = jnp.sum(svalid & (pos - group_start >= R),
+                        dtype=jnp.int32)
 
     # windowed incoming sources per first-occurrence row
     raw = pos[:, None] + jnp.arange(R, dtype=jnp.int32)[None, :]  # [P, R]
@@ -132,4 +145,4 @@ def apply_backlinks(
 
     # ---- scatter back: only the first occurrence of each destination writes
     scat_idx = jnp.where(first, sdst_row, n_rows)  # n_rows == OOB -> dropped
-    return adj.at[scat_idx].set(new_rows, mode="drop")
+    return adj.at[scat_idx].set(new_rows, mode="drop"), n_dropped

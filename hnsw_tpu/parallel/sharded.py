@@ -121,7 +121,7 @@ class ShardedHnswIndex:
 
             def sharded_step(graph, vectors, sqnorms, gids, xb, ids, levels,
                              slots, user_ids):
-                g, v, sq = _insert_batch(
+                g, v, sq, _bl_drops = _insert_batch(
                     _local(graph), _local(vectors), _local(sqnorms),
                     xb[0], ids[0], levels[0], slots[0],
                     cfg=cfg, ef_construction=efc, intra_k=32, r_window=16)

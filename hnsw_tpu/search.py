@@ -184,10 +184,13 @@ def hnsw_search(
     query converges, a tail that costs ~35% of wall time while moving
     recall < 0.1% (measured at 1M; see ops/beam.py hop_limit). > 0 sets an
     explicit hop cap; < 0 runs to full convergence (faiss-exact
-    check_relative_distance termination semantics)."""
+    check_relative_distance termination semantics). FILTERED searches
+    (``allowed`` set) default to full convergence instead: with aggressive
+    filters the result buffer fills from traversal leftovers, where the
+    truncated tail costs well over the unfiltered 0.1%."""
     ef = max(int(ef_search), k)
     if max_hops == 0:
-        hop_limit = ef + 8
+        hop_limit = (ef + 8) if allowed is None else (1 << 30)
     elif max_hops > 0:
         hop_limit = max_hops
     else:

@@ -68,7 +68,7 @@ def test_matches_sequential_oracle():
 
     got = np.asarray(apply_backlinks(
         jnp.asarray(adj), jnp.asarray(dst), jnp.asarray(dst), jnp.asarray(src),
-        jnp.asarray(valid), jnp.asarray(vectors), r_window=16, metric="l2"))
+        jnp.asarray(valid), jnp.asarray(vectors), r_window=16, metric="l2")[0])
     want = _numpy_apply(adj, dst, dst, src, valid, vectors, "l2")
     assert (got == want).all(), np.argwhere(got != want)
 
@@ -83,7 +83,7 @@ def test_append_no_overflow():
     valid = np.ones(2, bool)
     got = np.asarray(apply_backlinks(
         jnp.asarray(adj), jnp.asarray(dst), jnp.asarray(dst), jnp.asarray(src),
-        jnp.asarray(valid), jnp.asarray(vectors)))
+        jnp.asarray(valid), jnp.asarray(vectors))[0])
     assert got[3].tolist() == [1, 2, 5, 7, -1, -1]
     assert (got[[0, 1, 2] + list(range(4, n))] == -1).all()
 
@@ -97,8 +97,32 @@ def test_dedupes_existing_link():
     src = np.array([4], np.int32)  # already present
     got = np.asarray(apply_backlinks(
         jnp.asarray(adj), jnp.asarray(dst), jnp.asarray(dst), jnp.asarray(src),
-        jnp.ones(1, bool), jnp.asarray(vectors)))
+        jnp.ones(1, bool), jnp.asarray(vectors))[0])
     assert got[2].tolist() == [4, -1, -1, -1]
+
+
+def test_window_drop_count():
+    """Pairs beyond the R-window of a hub destination are counted as dropped
+    (observability contract, ops/repair.py docstring)."""
+    n, d, W, R = 40, 4, 8, 4
+    rng = np.random.default_rng(5)
+    vectors = rng.normal(size=(n, d)).astype(np.float32)
+    adj = np.full((n, W), -1, np.int32)
+    # 10 sources all back-link into destination 0; window R=4 keeps 4
+    P = 10
+    dst = np.zeros(P, np.int32)
+    src = np.arange(1, P + 1, dtype=np.int32)
+    _, ndrop = apply_backlinks(
+        jnp.asarray(adj), jnp.asarray(dst), jnp.asarray(dst),
+        jnp.asarray(src), jnp.ones(P, bool), jnp.asarray(vectors),
+        r_window=R)
+    assert int(ndrop) == P - R
+    # within-window batches drop nothing
+    _, ndrop2 = apply_backlinks(
+        jnp.asarray(adj), jnp.asarray(dst[:R]), jnp.asarray(dst[:R]),
+        jnp.asarray(src[:R]), jnp.ones(R, bool), jnp.asarray(vectors),
+        r_window=R)
+    assert int(ndrop2) == 0
 
 
 def test_all_invalid_is_noop():
@@ -107,5 +131,5 @@ def test_all_invalid_is_noop():
     got = np.asarray(apply_backlinks(
         jnp.asarray(adj), jnp.zeros(4, jnp.int32), jnp.zeros(4, jnp.int32),
         jnp.zeros(4, jnp.int32), jnp.zeros(4, bool),
-        jnp.zeros((n, 4), jnp.float32)))
+        jnp.zeros((n, 4), jnp.float32))[0])
     assert (got == adj).all()
