@@ -170,6 +170,30 @@ def main():
     idx.add(base)
     build_s = time.time() - t0
     _log(f"[bench] device build: {build_s:.1f}s ({n/build_s:.0f} inserts/s)")
+    bl_dropped = getattr(idx._builder, "last_backlink_dropped", 0)
+    if bl_dropped:
+        _log(f"[bench] back-link window drops this build: {bl_dropped} "
+             f"({100.0 * bl_dropped / max(n * m, 1):.4f}% of forward links)")
+
+    # ---- structural invariant pre-flight (vectorized checker, VERDICT.md
+    # r2 item 5): a corrupt graph should be caught BEFORE it sets a recorded
+    # operating point. ~30 s at 1M on one host core; BENCH_CHECK=0 skips
+    # (e.g. when the tunnel's D2H is degraded — it fetches neighbors0).
+    check_summary = None
+    if os.environ.get("BENCH_CHECK", "1") != "0":
+        t0 = time.time()
+        try:
+            check_summary = idx.check(strict=False)
+            check_summary["seconds"] = round(time.time() - t0, 1)
+            _log(f"[bench] invariant check ({check_summary['seconds']}s): "
+                 f"{len(check_summary['errors'])} errors, "
+                 f"reciprocity0={check_summary.get('reciprocity0', 0):.3f}, "
+                 f"deg0_mean={check_summary.get('deg0_mean', 0):.1f}")
+            if check_summary["errors"]:
+                _log(f"[bench] INVARIANT ERRORS: {check_summary['errors']}")
+        except Exception as e:  # noqa: BLE001 — diagnostic must not kill bench
+            check_summary = {"errors": [f"checker crashed: {e!r}"]}
+            _log(f"[bench] invariant check crashed: {e!r}")
 
     # ---- ground truth (on-chip brute force) unless the dataset ships one
     if wl.ground_truth is not None:
@@ -203,63 +227,113 @@ def main():
             except Exception as e:  # noqa: BLE001 — fall back to unpacked
                 _log(f"[bench] packed mode unavailable: {e!r}")
 
+    # ---- packed-mode canary (VERDICT.md r2 item 2c): the round-2 artifact
+    # recorded recall 0.015 across a whole sweep because a broken packed
+    # path was silently trusted. Before any timed sweep, compare packed vs
+    # unpacked recall on a small spot-check; a divergence disables packing
+    # and flags the artifact — a broken serving mode must never set the
+    # operating point.
+    canary = None
+    if packed_bits:
+        nc = min(len(queries), 1024)
+        qc = jnp.asarray(np.asarray(queries[:nc], np.float32))
+        _, ic_p = idx.search(qc, k=10, ef_search=64, use_packed=True)
+        _, ic_u = idx.search(qc, k=10, ef_search=64, use_packed=False)
+        r_p = recall_at_k(np.asarray(ic_p), gt[:nc], 10)
+        r_u = recall_at_k(np.asarray(ic_u), gt[:nc], 10)
+        canary = {"packed_recall": round(r_p, 4),
+                  "unpacked_recall": round(r_u, 4), "n_queries": nc}
+        if r_p < r_u - 0.05:
+            canary["verdict"] = "FAILED — packed disabled"
+            _log(f"[bench] PACKED CANARY FAILED: packed recall {r_p:.4f} "
+                 f"vs unpacked {r_u:.4f} at ef=64 — disabling packed mode")
+            idx.disable_packed()
+            packed_bits = 0
+        else:
+            canary["verdict"] = "ok"
+            _log(f"[bench] packed canary ok: packed {r_p:.4f} / "
+                 f"unpacked {r_u:.4f} at ef=64")
+
     # ---- efSearch sweep: find the cheapest ef reaching the target recall.
     # Queries staged on device once; results stay on device during timing
     # (the tunneled D2H of a [8192, 10] result would dominate honest timing);
     # ids are fetched ONCE per point for recall, outside the timed reps.
     queries_dev = jnp.asarray(np.asarray(queries, np.float32))
-    results = []
-    chosen = None
-    for ef in (16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512):
-        try:
-            dd, ii = idx.search(queries_dev, k=10, ef_search=ef,
-                                device_out=True)  # compile+warm
-            _sync_fetch(ii)
-        except Exception as e:  # noqa: BLE001
-            if "RESOURCE_EXHAUSTED" not in str(e):
-                raise
-            # shared-tunnel co-tenant claimed HBM since the probe: drop
-            # the packed tables (if any) and retry with backoff — tenant
-            # bursts pass
-            if packed_bits:
-                _log("[bench] RESOURCE_EXHAUSTED with packed tables — "
-                     "falling back to unpacked")
-                idx.disable_packed()
-                packed_bits = 0
-            for attempt in range(4):
-                time.sleep(15 * (attempt + 1))
-                try:
-                    dd, ii = idx.search(queries_dev, k=10, ef_search=ef,
-                                        device_out=True)
-                    _sync_fetch(ii)
-                    break
-                except Exception as e2:  # noqa: BLE001
-                    if ("RESOURCE_EXHAUSTED" not in str(e2)
-                            or attempt == 3):
-                        raise
-                    _log(f"[bench] still exhausted (attempt {attempt+1}) "
-                         "— backing off")
-        times = []
-        for _ in range(max(reps, 1)):
-            t0 = time.time()
-            dd, ii = idx.search(queries_dev, k=10, ef_search=ef,
-                                device_out=True)
-            _sync_fetch(ii)
-            times.append(time.time() - t0)
-        dt = min(times)
-        r = recall_at_k(np.asarray(ii), gt, 10)
-        qps = len(queries) / dt
-        results.append({"ef": ef, "recall@10": round(r, 4),
-                        "qps": round(qps, 1),
-                        "reps_ms": [round(t * 1e3, 1) for t in times]})
-        _log(f"[bench] ef={ef:4d} recall@10={r:.4f} qps={qps:,.0f} "
-             f"(best of {len(times)})")
-        if r >= target_recall and chosen is None:
-            chosen = results[-1]
-        if r >= max(0.999, target_recall):
-            break
-    if chosen is None:
-        chosen = results[-1]  # best effort: report the frontier end
+
+    class _PackedFellBack(Exception):
+        pass
+
+    def run_sweep():
+        results = []
+        chosen = None
+        for ef in (16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512):
+            try:
+                dd, ii = idx.search(queries_dev, k=10, ef_search=ef,
+                                    device_out=True)  # compile+warm
+                _sync_fetch(ii)
+            except Exception as e:  # noqa: BLE001
+                if "RESOURCE_EXHAUSTED" not in str(e):
+                    raise
+                # shared-tunnel co-tenant claimed HBM since the probe: drop
+                # the packed tables (if any) and RESTART the sweep unpacked
+                # (a mixed packed/unpacked sweep under one packed_bits label
+                # would lie about what was measured), else back off — tenant
+                # bursts pass
+                if idx.packed_enabled:
+                    raise _PackedFellBack() from e
+                for attempt in range(4):
+                    time.sleep(15 * (attempt + 1))
+                    try:
+                        dd, ii = idx.search(queries_dev, k=10, ef_search=ef,
+                                            device_out=True)
+                        _sync_fetch(ii)
+                        break
+                    except Exception as e2:  # noqa: BLE001
+                        if ("RESOURCE_EXHAUSTED" not in str(e2)
+                                or attempt == 3):
+                            raise
+                        _log(f"[bench] still exhausted (attempt {attempt+1})"
+                             " — backing off")
+            times = []
+            for _ in range(max(reps, 1)):
+                t0 = time.time()
+                dd, ii = idx.search(queries_dev, k=10, ef_search=ef,
+                                    device_out=True)
+                _sync_fetch(ii)
+                times.append(time.time() - t0)
+            dt = min(times)
+            r = recall_at_k(np.asarray(ii), gt, 10)
+            qps = len(queries) / dt
+            results.append({"ef": ef, "recall@10": round(r, 4),
+                            "qps": round(qps, 1),
+                            "reps_ms": [round(t * 1e3, 1) for t in times]})
+            _log(f"[bench] ef={ef:4d} recall@10={r:.4f} qps={qps:,.0f} "
+                 f"(best of {len(times)})")
+            if r >= target_recall and chosen is None:
+                chosen = results[-1]
+            if r >= max(0.999, target_recall):
+                break
+        return results, chosen
+
+    try:
+        results, chosen = run_sweep()
+    except _PackedFellBack:
+        _log("[bench] RESOURCE_EXHAUSTED with packed tables — dropping them "
+             "and RESTARTING the sweep unpacked")
+        idx.disable_packed()
+        packed_bits = 0
+        results, chosen = run_sweep()
+
+    # Fail-honest operating point (VERDICT.md r2 Weak #2): when no sweep
+    # point reaches the target recall, the artifact must say so — value 0
+    # and a metric string carrying the best recall actually achieved, never
+    # a passing-shaped number.
+    target_reached = chosen is not None
+    if not target_reached:
+        chosen = max(results, key=lambda p: p["recall@10"])
+        _log(f"[bench] TARGET RECALL {target_recall} NOT REACHED — best "
+             f"point: recall {chosen['recall@10']} at ef={chosen['ef']} "
+             f"({chosen['qps']} qps). Reporting value=0.")
 
     # ---- hnsw_stats at the operating point (ndis/hops, faiss parity)
     stats = HnswStats()
@@ -274,16 +348,21 @@ def main():
     # ---- CPU single-core baseline at (close to) the same recall
     base_qps, base_src = _cpu_baseline_qps(base, queries, gt, wl.metric, m,
                                            efc, target_recall)
-    vs = (chosen["qps"] / base_qps) if base_qps else None
+    vs = (chosen["qps"] / base_qps) if (base_qps and target_reached) else None
 
+    metric_s = (f"qps/chip @ recall@10>={target_recall} "
+                f"({wl.name}, M={m}, efC={efc})")
+    if not target_reached:
+        metric_s += (f" — TARGET NOT REACHED (best recall "
+                     f"{chosen['recall@10']} at ef={chosen['ef']})")
     out = {
-        "metric": f"qps/chip @ recall@10>={target_recall} "
-                  f"({wl.name}, M={m}, efC={efc})",
-        "value": chosen["qps"],
+        "metric": metric_s,
+        "value": chosen["qps"] if target_reached else 0.0,
         "unit": "qps",
         "vs_baseline": round(vs, 3) if vs else None,
     }
     extra = {
+        "target_reached": target_reached,
         "recall_at_op": chosen["recall@10"], "ef_at_op": chosen["ef"],
         "build_seconds": round(build_s, 1),
         "build_inserts_per_s": round(n / build_s, 1),
@@ -291,7 +370,9 @@ def main():
         "environment": env, "downsized": downsized,
         "ndis_per_query": round(stat_summary["ndis_per_query"], 1),
         "hops_per_batch": round(stat_summary["hops_per_batch"], 1),
-        "packed_bits": packed_bits,
+        "packed_bits": packed_bits, "packed_canary": canary,
+        "invariant_check": check_summary,
+        "backlink_window_drops": bl_dropped,
         "sweep": results,
         "baseline_qps": base_qps, "baseline_source": base_src,
         "n": n, "d": d, "batch": len(queries),
@@ -316,16 +397,24 @@ def _cpu_baseline_qps(base, queries, gt, metric, m, efc, target_recall):
         eng.add(base[:n_build], ef_construction=efc)
         _log(f"[bench] cpu baseline build ({n_build} pts, 1 core): "
              f"{time.time()-t0:.1f}s")
+        best_r = 0.0
         for ef in (16, 32, 64, 128, 256, 512):
             t0 = time.time()
             ii = eng.search(q, 10, ef_search=ef)
             dt = time.time() - t0
             r = recall_at_k(ii, g, 10)
+            best_r = max(best_r, r)
             qps = nq_cap / dt
             _log(f"[bench] cpu ef={ef} recall={r:.4f} qps={qps:,.0f}")
             if r >= target_recall:
                 return round(qps, 1), "bundled-cpp-single-core"
-        return round(qps, 1), "bundled-cpp-single-core(best-effort)"
+        # VERDICT.md r2 Weak #3: a baseline that never reaches the target
+        # recall is NOT a valid denominator (a 0-point index "searches" at
+        # 15M qps) — report failure instead of a nonsense ratio.
+        _log(f"[bench] cpu baseline NEVER reached target recall "
+             f"{target_recall} (best {best_r:.4f}) — no vs_baseline")
+        return None, f"bundled-cpp-single-core(target-not-reached " \
+                     f"best={best_r:.4f})"
     except Exception as e:  # noqa: BLE001
         _log(f"[bench] bundled cpu baseline unavailable: {e!r}")
     try:
@@ -336,15 +425,18 @@ def _cpu_baseline_qps(base, queries, gt, metric, m, efc, target_recall):
         fidx.hnsw.efConstruction = efc
         faiss.omp_set_num_threads(1)
         fidx.add(base)
+        best_r = 0.0
         for ef in (16, 32, 64, 128, 256, 512):
             fidx.hnsw.efSearch = ef
             t0 = time.time()
             _, ii = fidx.search(q, 10)
             dt = time.time() - t0
             r = recall_at_k(ii, g, 10)
+            best_r = max(best_r, r)
             if r >= target_recall:
                 return round(nq_cap / dt, 1), "faiss-cpu-single-core"
-        return round(nq_cap / dt, 1), "faiss-cpu-single-core(best-effort)"
+        return None, f"faiss-cpu-single-core(target-not-reached " \
+                     f"best={best_r:.4f})"
     except Exception as e:  # noqa: BLE001
         _log(f"[bench] faiss unavailable: {e!r}")
     return None, "none"
