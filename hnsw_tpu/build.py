@@ -154,6 +154,7 @@ def _insert_batch(
     r_window: int,
     n_expand: int = 4,
     hop_cap: int = 0,
+    sq_params=None,
 ):
     B = xb.shape[0]
     capacity = cfg.capacity
@@ -164,8 +165,17 @@ def _insert_batch(
 
     # ---- 1. storage + level-table writes (adjacency still untouched, so the
     # beams below see exactly the pre-batch graph)
+    # sq8 storage (faiss IndexHNSWSQ parity): xb arrives as the DEQUANTIZED
+    # x̂ (HnswIndex quantizes at the API boundary so the whole build sees
+    # exactly the values a post-add faiss SQ index would); the write encodes
+    # back to codes and every stored-vector gather dequantizes in-register
     xf = xb.astype(jnp.float32)
-    vectors = vectors.at[ids].set(xb.astype(vectors.dtype), mode="drop")
+    if sq_params is not None:
+        from .ops.packed import quantize_codes
+        stored = quantize_codes(xf, sq_params[0], sq_params[1], 8)
+    else:
+        stored = xb.astype(vectors.dtype)
+    vectors = vectors.at[ids].set(stored, mode="drop")
     sqnorms = sqnorms.at[ids].set(jnp.sum(xf * xf, axis=1), mode="drop")
     new_levels = graph.levels.at[ids].set(levels, mode="drop")
     new_uslot = graph.upper_slot.at[ids].set(slots, mode="drop")
@@ -175,7 +185,8 @@ def _insert_batch(
     graph = graph._replace(levels=new_levels, upper_slot=new_uslot,
                            upper_node=new_unode)
 
-    distance_to = _make_distance_fn(vectors, sqnorms, xf, metric)
+    distance_to = _make_distance_fn(vectors, sqnorms, xf, metric,
+                                    dequant=sq_params)
     qsq = jnp.sum(xf * xf, axis=1, keepdims=True)  # for surrogate -> true L2
 
     def to_true(d):
@@ -216,7 +227,8 @@ def _insert_batch(
     #     (true for levels >= 2 in almost every batch)
     b_up = upper_batch_cap(B, cfg.m)
     xf_up = xf[:b_up]
-    dist_up = _make_distance_fn(vectors, sqnorms, xf_up, metric)
+    dist_up = _make_distance_fn(vectors, sqnorms, xf_up, metric,
+                                dequant=sq_params)
     qsq_up = qsq[:b_up]
     slots_up = slots[:b_up]
     ids_safe_up = ids_safe[:b_up]
@@ -249,6 +261,8 @@ def _insert_batch(
             cand_ids = jnp.where(active[:, None], buf_ids_d, -1)
             cand_true = buf_dist_d + qsq_up if metric == L2 else buf_dist_d
             cand_vecs = vectors[jnp.maximum(cand_ids, 0)].astype(jnp.float32)
+            if sq_params is not None:
+                cand_vecs = sq_params[0] + sq_params[1] * cand_vecs
             kept, _ = select_neighbors(cand_ids, cand_true, cand_vecs,
                                        m=cfg.m, metric=metric)
 
@@ -266,7 +280,7 @@ def _insert_batch(
             dst_rows = jnp.where(pair_ok, new_uslot[jnp.maximum(dst, 0)], -1)
             adj_l, ndrop = apply_backlinks(
                 adj_l, jnp.maximum(dst_rows, 0), dst, src,
-                pair_ok & (dst_rows >= 0), vectors,
+                pair_ok & (dst_rows >= 0), vectors, sq_params,
                 r_window=r_window, metric=metric)
             upper_adj2 = jax.lax.dynamic_update_index_in_dim(
                 upper_adj, adj_l, lidx, axis=1)
@@ -317,6 +331,8 @@ def _insert_batch(
     cand_true = jnp.concatenate(
         [to_true(buf_dist_d), to_true(intra_d)], axis=1)
     cand_vecs = vectors[jnp.maximum(cand_ids, 0)].astype(jnp.float32)
+    if sq_params is not None:
+        cand_vecs = sq_params[0] + sq_params[1] * cand_vecs
     # faiss parity: a new node gets M forward links at level 0 (the m0 = 2M
     # row width is headroom for back-link growth, not the insert fanout —
     # faiss add_links_starting_from shrinks to M). Also halves the back-link
@@ -333,7 +349,7 @@ def _insert_batch(
                                             kept0.shape).reshape(-1)
     neighbors0, ndrop0 = apply_backlinks(
         neighbors0, jnp.maximum(dst, 0), dst, src, pair_ok, vectors,
-        r_window=r_window, metric=metric)
+        sq_params, r_window=r_window, metric=metric)
     bl_dropped = bl_dropped + ndrop0
 
     graph = graph._replace(neighbors0=neighbors0, upper_neighbors=upper_adj)
@@ -358,6 +374,7 @@ def _insert_batch_staged(
     r_window: int,
     n_expand: int = 4,
     hop_cap: int = 0,
+    sq_params=None,
 ):
     """One insert batch sliced out of device-staged arrays + on-device scalar
     (entry point / max level / counters) updates.
@@ -378,7 +395,8 @@ def _insert_batch_staged(
     graph, vectors, sqnorms, bl_dropped = _insert_batch(
         graph, vectors, sqnorms, xb, ids, levels, slots, cfg=cfg,
         ef_construction=ef_construction, intra_k=intra_k,
-        r_window=r_window, n_expand=n_expand, hop_cap=hop_cap)
+        r_window=r_window, n_expand=n_expand, hop_cap=hop_cap,
+        sq_params=sq_params)
 
     # scalar bookkeeping on device (no host round-trip between batches)
     batch_max = jnp.max(levels)                       # -1 when take == 0
@@ -419,7 +437,7 @@ class DeviceBuilder:
 
     def __init__(self, cfg: HnswConfig, *, max_batch: int = 2048,
                  intra_k: int = 32, r_window: int = 16, n_expand: int = 4,
-                 hop_cap: int = 0):
+                 hop_cap: int = 0, sq_params=None):
         self.cfg = cfg
         self.rng = np.random.default_rng(cfg.seed)
         self.max_batch = max_batch
@@ -427,6 +445,15 @@ class DeviceBuilder:
         self.r_window = r_window
         self.n_expand = n_expand
         self.hop_cap = hop_cap
+        # sq8 storage: (offset [d], scale [d]) as NUMPY arrays — they close
+        # over the insert programs as trace-time constants (d floats each),
+        # so the staged-step signatures stay unchanged. Per-index builders
+        # make this safe: params are fixed once trained, before any program
+        # compiles (programs cached in self._steps would go stale otherwise).
+        self.sq_params = None
+        if sq_params is not None:
+            self.sq_params = (np.asarray(sq_params[0], np.float32),
+                              np.asarray(sq_params[1], np.float32))
         self._steps: dict = {}
         # back-link pairs beyond the repair R-window, lost per add() call /
         # lifetime (observability for ops/repair.py's "rare" claim)
@@ -483,7 +510,8 @@ class DeviceBuilder:
                                   intra_k=self.intra_k,
                                   r_window=self.r_window,
                                   n_expand=self.n_expand,
-                                  hop_cap=self.hop_cap),
+                                  hop_cap=self.hop_cap,
+                                  sq_params=self.sq_params),
                 donate_argnums=(0, 1, 2), **kw,
             )
         return self._steps[key]
@@ -500,7 +528,8 @@ class DeviceBuilder:
                                      intra_k=self.intra_k,
                                      r_window=self.r_window,
                                      n_expand=self.n_expand,
-                                     hop_cap=self.hop_cap)
+                                     hop_cap=self.hop_cap,
+                                     sq_params=self.sq_params)
 
             def chunk(graph, vectors, sqnorms, xs, ids_s, lv_s, sl_s,
                       offsets, takes):
@@ -539,9 +568,17 @@ class DeviceBuilder:
             kw = dict(in_shardings=(rm2, None, None, None, None, None),
                       out_shardings=(rm2, None, None, None, None))
 
+        sq_params = self.sq_params
+
         @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4), **kw)
         def seed(vectors, sqnorms, levels, upper_slot, upper_node, x0):
-            return (vectors.at[0].set(x0.astype(vectors.dtype)),
+            if sq_params is not None:  # x0 is x̂0 — encode back to codes
+                from .ops.packed import quantize_codes
+                stored0 = quantize_codes(x0[None], sq_params[0],
+                                         sq_params[1], 8)[0]
+            else:
+                stored0 = x0.astype(vectors.dtype)
+            return (vectors.at[0].set(stored0),
                     sqnorms.at[0].set(jnp.sum(x0.astype(jnp.float32) ** 2)),
                     levels.at[0].set(level),
                     upper_slot.at[0].set(0 if level >= 1 else -1),

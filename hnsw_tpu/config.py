@@ -62,7 +62,7 @@ class HnswConfig:
             raise ValueError(f"metric must be one of {_METRICS}, got {self.metric!r}")
         if self.dim <= 0 or self.m <= 1 or self.capacity <= 0:
             raise ValueError("dim, m, capacity must be positive (m > 1)")
-        if self.dtype not in ("float32", "bfloat16"):
+        if self.dtype not in ("float32", "bfloat16", "sq8"):
             raise ValueError(f"unsupported storage dtype {self.dtype!r}")
         if self.capacity >= 1 << 24:
             # ids ride through one-hot f32 matmuls in the prune/compaction
@@ -80,6 +80,19 @@ class HnswConfig:
             # 4x headroom, floor of 1024, keeps the table tiny vs level 0.
             auto = max(1024, 4 * self.capacity // self.m)
             object.__setattr__(self, "upper_capacity", min(auto, self.capacity))
+
+    @property
+    def is_sq(self) -> bool:
+        """Scalar-quantized vector storage (faiss ``IndexHNSWSQ`` /
+        ``ScalarQuantizer.QT_8bit`` parity): vectors live as uint8 codes +
+        per-dim affine (offset, scale); every distance is computed against
+        the dequantized x̂ = offset + scale·u. Requires ``train()``."""
+        return self.dtype == "sq8"
+
+    @property
+    def storage_dtype(self) -> str:
+        """The actual device-array dtype backing vector storage."""
+        return "uint8" if self.is_sq else self.dtype
 
     # -- serialization ------------------------------------------------------
     def to_json(self) -> str:

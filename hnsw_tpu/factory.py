@@ -4,8 +4,9 @@ for first; SURVEY.md §1b "index_factory" in the wrappers layer).
 Supported specs (the subset meaningful for this engine):
   * ``"HNSW"``        -> HnswIndex with default M=32
   * ``"HNSW32"``      -> HnswIndex(M=32)
-  * ``"HNSW16,Flat"`` -> same (Flat storage is the only codec, as in
-                          faiss IndexHNSWFlat)
+  * ``"HNSW16,Flat"`` -> same (flat f32 storage, faiss IndexHNSWFlat)
+  * ``"HNSW32,SQ8"``  -> sq8 scalar-quantized storage (faiss IndexHNSWSQ
+                          with ScalarQuantizer.QT_8bit): train() required
   * ``"Flat"``        -> FlatIndex (exact search)
 Metric: "l2" (faiss METRIC_L2) or "ip" (METRIC_INNER_PRODUCT).
 """
@@ -30,11 +31,14 @@ def index_factory(d: int, spec: str, metric: str = L2, **kw):
         return FlatIndex(d, metric=metric)
     m = re.fullmatch(r"HNSW(\d+)?", head)
     if m:
-        if len(parts) > 2 or (len(parts) == 2 and parts[1] != "Flat"):
+        if len(parts) > 2 or (len(parts) == 2 and
+                              parts[1] not in ("Flat", "SQ8")):
             raise ValueError(
-                f"unsupported spec {spec!r}: only Flat storage exists "
-                "(faiss IndexHNSWFlat parity; PQ/SQ codecs are out of scope, "
-                "SURVEY.md non-goals)")
+                f"unsupported spec {spec!r}: storage codecs are Flat "
+                "(IndexHNSWFlat) and SQ8 (IndexHNSWSQ/QT_8bit); PQ is out "
+                "of scope (SURVEY.md non-goals)")
         M = int(m.group(1)) if m.group(1) else 32
+        if len(parts) == 2 and parts[1] == "SQ8":
+            kw.setdefault("dtype", "sq8")
         return HnswIndex(d, M, metric, **kw)
     raise ValueError(f"unsupported index spec {spec!r}")

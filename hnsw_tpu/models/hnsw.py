@@ -57,13 +57,23 @@ class HnswIndex:
             from ..graph import create_in_format
             self._graph = empty_graph(config, neighbors0_format=nb_fmt)
             self._vectors = create_in_format(
-                (config.capacity, config.dim), jnp.dtype(config.dtype),
-                0, v_fmt)
+                (config.capacity, config.dim),
+                jnp.dtype(config.storage_dtype), 0, v_fmt)
             self._sqnorms = jnp.zeros((config.capacity,), jnp.float32)
         self._host: NumpyHnsw | None = None
         self._builder = None  # lazily constructed device builder
         self._alive = None    # tombstone mask [capacity]; None == no removals
         self._packed = None   # packed neighbor-code tables (enable_packed)
+        # sq8 storage (faiss IndexHNSWSQ parity): per-dim affine params,
+        # None until train(); kept as device pair (for search programs) and
+        # numpy pair (builder trace-time constants + host encode)
+        self._sq = None
+        self._sq_np = None
+        if config.is_sq:
+            self.is_trained = False  # faiss SQ requires train() before add()
+            if build == "host":
+                raise ValueError("sq8 storage requires build='device' (the "
+                                 "NumPy reference builder is f32-only)")
 
     # -- properties ----------------------------------------------------------
     @property
@@ -92,11 +102,46 @@ class HnswIndex:
         return self._vectors
 
     # -- construction ---------------------------------------------------------
+    def train(self, x: np.ndarray) -> None:
+        """faiss parity: a no-op for flat storage (HNSWFlat is train-free);
+        for sq8 storage, trains the per-dim ScalarQuantizer [min, max] range
+        on ``x`` (faiss ``ScalarQuantizer::train`` QT_8bit semantics). Must
+        be called before the first ``add()``; retraining after adds would
+        desynchronize stored codes and is rejected."""
+        if not self.config.is_sq:
+            return
+        if self.ntotal:
+            raise RuntimeError("train() after add(): stored codes would "
+                               "decode under different params; build a new "
+                               "index instead")
+        from ..ops.packed import quantization_params
+        x = np.asarray(x, np.float32)
+        if x.ndim != 2 or x.shape[1] != self.config.dim:
+            raise ValueError(f"expected [n, {self.config.dim}], got {x.shape}")
+        off, sc = quantization_params(
+            jnp.asarray(x), jnp.ones((len(x),), jnp.bool_), 8)
+        self._sq = (off, sc)
+        self._sq_np = (np.asarray(off), np.asarray(sc))
+        self.is_trained = True
+
+    def _sq_encode(self, x: np.ndarray) -> np.ndarray:
+        """f32 -> x̂ (the dequantized value of the stored code). The builder
+        receives x̂ so every build-time distance equals what a post-add
+        faiss SQ index would compute; the device write re-encodes exactly."""
+        off, sc = self._sq_np
+        u = np.clip(np.round((x - off) / sc), 0, 255).astype(np.float32)
+        return off + sc * u
+
     def add(self, x: np.ndarray) -> None:
         """Append vectors; ids are assigned sequentially (faiss parity)."""
         x = np.ascontiguousarray(np.asarray(x, np.float32))
         if x.ndim != 2 or x.shape[1] != self.config.dim:
             raise ValueError(f"expected [n, {self.config.dim}], got {x.shape}")
+        if not self.is_trained:
+            raise RuntimeError("sq8 storage: call train(x) before add() "
+                               "(faiss IndexHNSWSQ parity)")
+        if self.config.is_sq:
+            x = self._sq_encode(x)
         if self.ntotal + len(x) > self.config.capacity:
             raise ValueError("capacity exceeded; create the index with a "
                              "larger `capacity` (device arrays are "
@@ -136,7 +181,8 @@ class HnswIndex:
     def _add_device(self, x: np.ndarray) -> None:
         from ..build import DeviceBuilder  # local import: build pulls in more
         if self._builder is None:
-            self._builder = DeviceBuilder(self.config)
+            self._builder = DeviceBuilder(self.config,
+                                          sq_params=self._sq_np)
         # hand over our array references for the duration of the call: the
         # builder donates them into its programs (and may relayout them
         # first); a second live reference here would keep capacity-sized
@@ -170,7 +216,8 @@ class HnswIndex:
         n_rows = min(self.config.capacity, max(self.ntotal, 1) + max(reserve, 0))
         self._packed = pack_neighbors(
             self._graph.neighbors0, self._vectors, self._graph.levels,
-            bits=bits, max_bytes=max_bytes, n_rows=n_rows, chunk=chunk)
+            bits=bits, max_bytes=max_bytes, n_rows=n_rows, chunk=chunk,
+            dequant=self._sq)
         # remembered for incremental-era full rebuilds (_refresh_packed)
         self._packed_opts = (bits, max_bytes, reserve, chunk)
         return self._packed.nbytes
@@ -218,7 +265,8 @@ class HnswIndex:
                 chunk[:len(part)] = part
                 codes, sq = update_packed_rows(
                     codes, sq, self._graph.neighbors0, self._vectors,
-                    offset, scale, jnp.asarray(chunk), bits=bits)
+                    offset, scale, jnp.asarray(chunk), bits=bits,
+                    dequant=self._sq)
             from ..ops.packed import PackedNeighbors
             self._packed = PackedNeighbors(codes, sq, scale=scale,
                                            offset=offset)
@@ -290,7 +338,7 @@ class HnswIndex:
             k=k, ef_search=ef, metric=self.config.metric,
             max_level_cap=self.config.max_level_cap, max_hops=max_hops,
             n_expand=self.n_expand, with_stats=with_stats, allowed=allowed,
-            packed=packed)
+            packed=packed, dequant=self._sq)
         if with_stats:
             d, i, stats = out
             if device_out:
@@ -344,10 +392,14 @@ class HnswIndex:
     def reconstruct(self, i: int) -> np.ndarray:
         if not 0 <= i < self.ntotal:
             raise IndexError(i)
-        return np.asarray(self._vectors[i], np.float32)
+        return self.reconstruct_n(i, 1)[0]
 
     def reconstruct_n(self, i0: int, n: int) -> np.ndarray:
-        return np.asarray(self._vectors[i0:i0 + n], np.float32)
+        v = np.asarray(self._vectors[i0:i0 + n], np.float32)
+        if self.config.is_sq:  # decode codes -> x̂ (faiss SQ reconstruct)
+            off, sc = self._sq_np
+            v = off + sc * v
+        return v
 
     # -- deletion (tombstones; a capability faiss-HNSW lacks entirely) --------
     def remove_ids(self, ids: np.ndarray) -> int:
@@ -390,6 +442,8 @@ class HnswIndex:
         xarr = {}
         if self._alive is not None:
             xarr["alive"] = np.asarray(self._alive)
+        if self._sq_np is not None:
+            xarr["sq_offset"], xarr["sq_scale"] = self._sq_np
         save_graph(path, self._graph, self._vectors, self.config, extra,
                    extra_arrays=xarr)
 
@@ -410,12 +464,17 @@ class HnswIndex:
                for k in GraphArrays._fields if k != "neighbors0"})
         idx._vectors = (jax.device_put(vectors, v_fmt)
                         if v_fmt is not None else jnp.asarray(vectors))
-        idx._sqnorms = compute_sqnorms(idx._vectors)
+        if "sq_offset" in xarr:
+            idx._sq_np = (np.asarray(xarr["sq_offset"], np.float32),
+                          np.asarray(xarr["sq_scale"], np.float32))
+            idx._sq = (jnp.asarray(idx._sq_np[0]), jnp.asarray(idx._sq_np[1]))
+            idx.is_trained = True
+        idx._sqnorms = compute_sqnorms(idx._vectors, dequant=idx._sq)
         if "alive" in xarr:
             idx._alive = jnp.asarray(xarr["alive"])
         if "builder_rng_state" in extra:
             from ..build import DeviceBuilder
-            idx._builder = DeviceBuilder(cfg)
+            idx._builder = DeviceBuilder(cfg, sq_params=idx._sq_np)
             idx._builder.rng.bit_generator.state = \
                 extra["builder_rng_state"]
         return idx

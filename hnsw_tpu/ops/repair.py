@@ -45,6 +45,7 @@ def apply_backlinks(
     src_ids: jax.Array,   # int32 [P] source node id to back-link
     valid: jax.Array,     # bool  [P]
     vectors: jax.Array,   # [capacity, d] vector storage
+    dequant=None,         # optional (offset [d], scale [d]) for sq8 storage
     *,
     r_window: int = 16,
     metric: str = L2,
@@ -125,6 +126,9 @@ def apply_backlinks(
         dst_c, ids_c = args
         dvec = vectors[dst_c].astype(jnp.float32)               # [C, d]
         cvec = vectors[jnp.maximum(ids_c, 0)].astype(jnp.float32)
+        if dequant is not None:  # sq8 storage: distances against x̂
+            dvec = dequant[0] + dequant[1] * dvec
+            cvec = dequant[0] + dequant[1] * cvec
         dots = jnp.einsum("pd,pcd->pc", dvec, cvec,
                           preferred_element_type=jnp.float32,
                       precision=jax.lax.Precision.HIGHEST)
