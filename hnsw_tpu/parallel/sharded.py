@@ -109,6 +109,9 @@ class ShardedHnswIndex:
         self._ntotal = 0
         self._steps: dict = {}
         self._searches: dict = {}
+        # tombstones over USER ids (filtering composes in search; routing is
+        # untouched, same semantics as HnswIndex.remove_ids). None == none.
+        self._removed: np.ndarray | None = None
 
     @property
     def ntotal(self) -> int:
@@ -269,16 +272,23 @@ class ShardedHnswIndex:
         )
 
     # ---------------------------------------------------------------- search
-    def _get_search(self, k: int, ef: int):
-        key = (k, ef)
+    def _get_search(self, k: int, ef: int, filtered: bool = False):
+        key = (k, ef, filtered)
         if key not in self._searches:
             cfg = self.config
 
-            def fanout(graph, vectors, sqnorms, gids, queries):
+            def fanout(graph, vectors, sqnorms, gids, queries, *rest):
+                allowed_loc = None
+                if filtered:
+                    # permit rides REPLICATED in user-id space; remap to a
+                    # local-row mask through this shard's global_ids table
+                    (permit,) = rest
+                    g0 = gids[0]
+                    allowed_loc = (g0 >= 0) & permit[jnp.maximum(g0, 0)]
                 d, i = hnsw_search(
                     _local(graph), vectors[0], sqnorms[0], queries,
                     k=k, ef_search=ef, metric=cfg.metric,
-                    max_level_cap=cfg.max_level_cap)
+                    max_level_cap=cfg.max_level_cap, allowed=allowed_loc)
                 # local rows -> user ids before leaving the shard
                 gi = jnp.where(i >= 0, gids[0][jnp.maximum(i, 0)], -1)
                 # the one cross-device boundary: gather per-shard top-k
@@ -293,11 +303,56 @@ class ShardedHnswIndex:
 
             spec = P(SHARD_AXIS)
             qspec = P(QUERY_AXIS)
+            in_specs = (spec, spec, spec, spec, qspec) + \
+                ((P(),) if filtered else ())
             self._searches[key] = jax.jit(jax.shard_map(
                 fanout, mesh=self.mesh,
-                in_specs=(spec, spec, spec, spec, qspec),
+                in_specs=in_specs,
                 out_specs=(qspec, qspec), check_vma=False))
         return self._searches[key]
+
+    # ------------------------------------------------- deletion / filtering
+    @property
+    def n_deleted(self) -> int:
+        return 0 if self._removed is None else \
+            int(self._removed[: self._ntotal].sum())
+
+    def remove_ids(self, ids: np.ndarray) -> int:
+        """Tombstone USER ids (HnswIndex.remove_ids parity): removed ids stop
+        appearing in results immediately but keep routing; ids never
+        renumber. Returns the number of newly removed ids."""
+        ids = np.asarray(ids).reshape(-1)
+        if ((ids < 0) | (ids >= self._ntotal)).any():
+            raise IndexError("remove_ids: id out of range")
+        if self._removed is None:
+            self._removed = np.zeros(
+                self.n_shards * self.config.capacity, bool)
+        before = int(self._removed.sum())
+        self._removed[ids] = True
+        return int(self._removed.sum()) - before
+
+    def _normalize_allowed(self, allowed) -> np.ndarray:
+        """User id filter -> bool mask over the user-id space
+        [n_shards * capacity_per_shard] (ids are insertion order, so the
+        space is bounded by total capacity). Accepts a bool mask or an int
+        id-whitelist (HnswIndex parity)."""
+        u_cap = self.n_shards * self.config.capacity
+        a = np.asarray(allowed)
+        if a.dtype == np.bool_:
+            if a.ndim != 1 or len(a) > u_cap:
+                raise ValueError(
+                    f"allowed bool mask must be 1-d with length <= "
+                    f"{u_cap}, got shape {a.shape}")
+            mask = np.zeros(u_cap, np.bool_)
+            mask[: len(a)] = a
+            return mask
+        if np.issubdtype(a.dtype, np.integer):
+            mask = np.zeros(u_cap, np.bool_)
+            mask[a.reshape(-1)] = True  # raises on out-of-range, on purpose
+            return mask
+        raise TypeError(
+            f"allowed: expected bool mask or int id list, got dtype "
+            f"{a.dtype}")
 
     # -------------------------------------------------------- persistence
     def save(self, path: str) -> None:
@@ -322,6 +377,8 @@ class ShardedHnswIndex:
             rng_states=np.bytes_(json.dumps(
                 [_jsonify(b.rng.bit_generator.state)
                  for b in self._builders]).encode()),
+            removed=(self._removed if self._removed is not None
+                     else np.zeros(0, bool)),
             config_json=np.bytes_(self.config.to_json()), **arrs)
 
     @classmethod
@@ -353,6 +410,8 @@ class ShardedHnswIndex:
             states = json.loads(bytes(z["rng_states"].item()).decode())
             for b, st in zip(idx._builders, states):
                 b.rng.bit_generator.state = st
+            if "removed" in z.files and z["removed"].size:
+                idx._removed = z["removed"].copy()
         return idx
 
     def check(self, strict: bool = True) -> list[dict]:
@@ -365,18 +424,32 @@ class ShardedHnswIndex:
             out.append(check_invariants(g, self.config, strict=strict))
         return out
 
-    def search(self, x: np.ndarray, k: int, *, ef_search: int | None = None):
+    def search(self, x: np.ndarray, k: int, *, ef_search: int | None = None,
+               allowed: np.ndarray | None = None):
+        """Fan-out k-NN over the mesh. ``allowed``: optional USER-id filter
+        (bool mask or int whitelist, HnswIndex parity); composes with
+        tombstones from remove_ids. Raise ef_search when filtering
+        aggressively — per-shard traversal is unfiltered."""
         if self._ntotal == 0:
             n = len(x)
             return (np.full((n, k), np.inf, np.float32),
                     np.full((n, k), -1, np.int64))
+        permit = None
+        if allowed is not None:
+            permit = self._normalize_allowed(allowed)
+        if self._removed is not None:
+            alive = ~self._removed
+            permit = alive if permit is None else (permit & alive)
         ef = int(ef_search or self.ef_search)
         x = np.asarray(x, np.float32)
         qp = self.mesh.shape[QUERY_AXIS]
         pad = (-len(x)) % qp
         xq = np.pad(x, ((0, pad), (0, 0)))
-        fn = self._get_search(k, max(ef, k))
-        d, i = fn(self._graph, self._vectors, self._sqnorms,
-                  self._global_ids, jnp.asarray(xq))
+        fn = self._get_search(k, max(ef, k), filtered=permit is not None)
+        args = (self._graph, self._vectors, self._sqnorms,
+                self._global_ids, jnp.asarray(xq))
+        if permit is not None:
+            args += (jnp.asarray(permit),)
+        d, i = fn(*args)
         return (np.asarray(d)[: len(x)],
                 np.asarray(i, np.int64)[: len(x)])

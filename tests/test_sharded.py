@@ -97,3 +97,77 @@ def test_sharded_invariants(sharded_built):
     idx, _ = sharded_built
     for st in idx.check():
         assert st["errors"] == []
+
+
+def test_sharded_ip_metric():
+    """The sharded test matrix mirrors the single-chip one (VERDICT.md r2
+    item 9): inner-product metric through build, fan-out, and merge."""
+    mesh = make_mesh(n_shards=4, q_parallel=2)
+    wl = synthetic_workload(3000, 16, n_queries=96, metric="ip", seed=53)
+    idx = ShardedHnswIndex(16, 8, "ip", mesh=mesh, capacity_per_shard=1024,
+                           ef_construction=60, seed=19)
+    idx.add(wl.base)
+    _, gt = exact_knn(wl.base, wl.queries, 10, "ip")
+    _, i = idx.search(wl.queries, k=10, ef_search=64)
+    r = recall_at_k(i, gt, 10)
+    assert r >= 0.93, r
+
+
+def test_sharded_deletion_and_filtering(sharded_built):
+    idx, wl = sharded_built
+    _, gt = exact_knn(wl.base, wl.queries, 1, "l2")
+    victims = np.unique(gt[:, 0])[:20]
+    removed_before = idx.n_deleted
+    assert idx.remove_ids(victims) == len(victims)
+    assert idx.n_deleted == removed_before + len(victims)
+    _, i = idx.search(wl.queries, k=10, ef_search=64)
+    assert not np.isin(i, victims).any()
+
+    # user filter composes with tombstones; both are USER-id space
+    allowed = np.zeros(idx.ntotal, bool)
+    allowed[:500] = True
+    allowed[victims] = True  # tombstones must still win
+    _, fi = idx.search(wl.queries[:32], k=5, ef_search=128, allowed=allowed)
+    valid = fi[fi >= 0]
+    assert (valid < 500).all()
+    assert not np.isin(valid, victims).any()
+
+    # int whitelist form
+    _, wi = idx.search(wl.queries[:8], k=5, ef_search=128,
+                       allowed=np.arange(100, 200))
+    wv = wi[wi >= 0]
+    assert ((wv >= 100) & (wv < 200)).all()
+
+    # out-of-range removal raises
+    with pytest.raises(IndexError):
+        idx.remove_ids(np.asarray([idx.ntotal]))
+
+
+def test_sharded_deletion_survives_save_load(tmp_path, sharded_built):
+    idx, wl = sharded_built
+    p = str(tmp_path / "sharded_del.npz")
+    idx.save(p)
+    idx2 = ShardedHnswIndex.load(p, mesh=idx.mesh)
+    assert idx2.n_deleted == idx.n_deleted
+    if idx.n_deleted:
+        removed = np.flatnonzero(idx._removed)
+        _, i = idx2.search(wl.queries[:16], k=10, ef_search=64)
+        assert not np.isin(i, removed).any()
+
+
+def test_uneven_shard_counts():
+    """A shard count that does not divide the device count or the point
+    count: 3 shards on the 8-device host, 1000 points (334/333/333)."""
+    mesh = make_mesh(n_shards=3, q_parallel=1)
+    assert mesh.shape == {"shard": 3, "q": 1}
+    wl = synthetic_workload(1000, 12, n_queries=64, metric="l2", seed=59)
+    idx = ShardedHnswIndex(12, 8, "l2", mesh=mesh, capacity_per_shard=512,
+                           ef_construction=60, seed=23)
+    idx.add(wl.base)
+    assert idx.ntotal == 1000
+    assert sorted(idx._counts.tolist()) == [333, 333, 334]
+    _, gt = exact_knn(wl.base, wl.queries, 10, "l2")
+    _, i = idx.search(wl.queries, k=10, ef_search=64)
+    assert recall_at_k(i, gt, 10) >= 0.95
+    for st in idx.check():
+        assert st["errors"] == []
