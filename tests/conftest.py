@@ -8,6 +8,11 @@ import os
 # JAX_PLATFORM_NAME and jax.config jax_platforms are honored. Set all three.
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+# XLA:CPU's AOT loader E-logs a benign feature-string mismatch for every
+# persistent-cache hit (the compile side records pseudo-features like
+# +prefer-no-scatter that the host-feature probe can't name) — hundreds of
+# lines per warm run. Real failures still surface as Python exceptions.
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,6 +21,13 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent XLA compile cache: the suite is compile-dominated on the 1-core
+# CI host, so warm reruns drop from ~16 min toward the <5 min target
+# (VERDICT.md r2 Weak #6). Safe here: test indexes are far below the >3 GB
+# capacity where build.py pins entry layouts and bypasses the cache.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("HNSW_TPU_TEST_CACHE", "/tmp/jaxcache-tests"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
