@@ -112,6 +112,11 @@ class ShardedHnswIndex:
         # tombstones over USER ids (filtering composes in search; routing is
         # untouched, same semantics as HnswIndex.remove_ids). None == none.
         self._removed: np.ndarray | None = None
+        # failure detection / elastic serving (SURVEY.md §5): per-shard
+        # health flags. A failed shard is masked out of the fan-out merge so
+        # queries keep serving over the survivors (degraded coverage) until
+        # restore_shards() reloads it from a checkpoint.
+        self._shard_ok = np.ones(self.n_shards, bool)
 
     @property
     def ntotal(self) -> int:
@@ -272,17 +277,19 @@ class ShardedHnswIndex:
         )
 
     # ---------------------------------------------------------------- search
-    def _get_search(self, k: int, ef: int, filtered: bool = False):
-        key = (k, ef, filtered)
+    def _get_search(self, k: int, ef: int, filtered: bool = False,
+                    degraded: bool = False):
+        key = (k, ef, filtered, degraded)
         if key not in self._searches:
             cfg = self.config
 
             def fanout(graph, vectors, sqnorms, gids, queries, *rest):
+                rest = list(rest)
                 allowed_loc = None
                 if filtered:
                     # permit rides REPLICATED in user-id space; remap to a
                     # local-row mask through this shard's global_ids table
-                    (permit,) = rest
+                    permit = rest.pop(0)
                     g0 = gids[0]
                     allowed_loc = (g0 >= 0) & permit[jnp.maximum(g0, 0)]
                 d, i = hnsw_search(
@@ -291,6 +298,13 @@ class ShardedHnswIndex:
                     max_level_cap=cfg.max_level_cap, allowed=allowed_loc)
                 # local rows -> user ids before leaving the shard
                 gi = jnp.where(i >= 0, gids[0][jnp.maximum(i, 0)], -1)
+                if degraded:
+                    # elastic serving: a failed shard contributes nothing to
+                    # the merge (its candidates ride as +inf/-1), so queries
+                    # keep answering over the survivors
+                    ok = rest.pop(0)[jax.lax.axis_index(SHARD_AXIS)]
+                    d = jnp.where(ok, d, jnp.inf)
+                    gi = jnp.where(ok, gi, -1)
                 # the one cross-device boundary: gather per-shard top-k
                 all_d = jax.lax.all_gather(d, SHARD_AXIS)   # [S, Q, k]
                 all_i = jax.lax.all_gather(gi, SHARD_AXIS)
@@ -304,12 +318,126 @@ class ShardedHnswIndex:
             spec = P(SHARD_AXIS)
             qspec = P(QUERY_AXIS)
             in_specs = (spec, spec, spec, spec, qspec) + \
-                ((P(),) if filtered else ())
+                ((P(),) if filtered else ()) + ((P(),) if degraded else ())
             self._searches[key] = jax.jit(jax.shard_map(
                 fanout, mesh=self.mesh,
                 in_specs=in_specs,
                 out_specs=(qspec, qspec), check_vma=False))
         return self._searches[key]
+
+    # --------------------------------------- failure detection / elasticity
+    #
+    # SURVEY.md §5 failure-detection row. Fault model: on a single-host TPU
+    # mesh a *device* failure kills the process (XLA offers no partial-
+    # failure semantics), so the recoverable unit is per-shard STATE —
+    # corruption (bad scalars, NaN/garbage rows after a partial restore or a
+    # software bug) or an operator-declared outage. In multi-host DCN
+    # deployments the natural failure unit is a host's shard set; the same
+    # detect -> serve-degraded -> restore_shards() flow applies once the
+    # mesh is rebuilt over the survivors (jax.distributed re-init).
+    @property
+    def failed_shards(self) -> list[int]:
+        return [int(s) for s in np.flatnonzero(~self._shard_ok)]
+
+    def mark_shard_failed(self, s: int) -> None:
+        """Operator-declared failure: shard ``s`` stops contributing to
+        query merges immediately (no recompile of its sub-index needed)."""
+        self._shard_ok[s] = False
+
+    def mark_shard_ok(self, s: int) -> None:
+        self._shard_ok[s] = True
+
+    def health_check(self, *, auto_mark: bool = True) -> list[dict]:
+        """Cheap per-shard liveness probe: host-side scalar sanity (entry
+        point in range, level/count consistency) + an on-device self-query
+        of each shard's local row 0 through the real search program (a
+        corrupt graph or NaN'd vector table fails to return itself at
+        distance ~0). Returns one dict per shard; with ``auto_mark``,
+        newly failing shards are marked out of the serving merge."""
+        sc = self._host_scalars()
+        probe_hit, probe_d = self._probe()
+        out = []
+        for s in range(self.n_shards):
+            errors = []
+            cnt = int(self._counts[s])
+            if cnt > 0:
+                ent = int(sc["entry"][s])
+                if not 0 <= ent < cnt:
+                    errors.append(f"entry_point {ent} outside [0, {cnt})")
+                if int(sc["max_level"][s]) < 0:
+                    errors.append("max_level < 0 with live points")
+                if not bool(probe_hit[s]):
+                    errors.append(
+                        f"self-query probe missed (d={float(probe_d[s]):.3g})")
+            if cnt > self.config.capacity:
+                errors.append("count exceeds capacity")
+            ok = not errors
+            if auto_mark and not ok:
+                self._shard_ok[s] = False
+            out.append({"shard": s, "ok": ok, "count": cnt,
+                        "errors": errors})
+        return out
+
+    def _probe(self):
+        """[S] self-query hit flags + distances (device, one shard_map)."""
+        if "probe" not in self._searches:
+            cfg = self.config
+
+            def probe(graph, vectors, sqnorms):
+                q = vectors[0, 0:1].astype(jnp.float32)
+                d, i = hnsw_search(
+                    _local(graph), vectors[0], sqnorms[0], q, k=1,
+                    ef_search=8, metric=cfg.metric,
+                    max_level_cap=cfg.max_level_cap)
+                hit = (i[0, 0] == 0) & jnp.isfinite(d[0, 0])
+                return hit[None], d[0, 0][None]
+
+            spec = P(SHARD_AXIS)
+            self._searches["probe"] = jax.jit(jax.shard_map(
+                probe, mesh=self.mesh, in_specs=(spec, spec, spec),
+                out_specs=(spec, spec), check_vma=False))
+        hit, d = self._searches["probe"](self._graph, self._vectors,
+                                         self._sqnorms)
+        return np.asarray(hit), np.asarray(d)
+
+    def restore_shards(self, path: str, shards: list[int] | None = None):
+        """Reload the given shards (default: every currently-failed one)
+        from a checkpoint written by ``save()``, leaving healthy shards'
+        live state untouched, then return them to the serving merge. The
+        elastic-recovery counterpart of mark/health_check."""
+        shards = self.failed_shards if shards is None else list(shards)
+        if not shards:
+            return []
+        with np.load(path, allow_pickle=False) as z:
+            cfg = HnswConfig.from_json(bytes(z["config_json"].item()).decode())
+            if cfg.to_json() != self.config.to_json():
+                raise ValueError("checkpoint config differs from live index")
+            if len(z["counts"]) != self.n_shards:
+                raise ValueError(
+                    f"checkpoint has {len(z['counts'])} shards; index has "
+                    f"{self.n_shards}")
+            sc = self._host_scalars()
+            g = self._graph
+            for s in shards:
+                for k in GraphArrays._fields:
+                    g = g._replace(**{k: getattr(g, k).at[s].set(
+                        jnp.asarray(z[f"graph_{k}"][s]))})
+                vec = jnp.asarray(z["vectors"][s])
+                self._vectors = self._vectors.at[s].set(vec)
+                self._sqnorms = self._sqnorms.at[s].set(
+                    jnp.sum(vec.astype(jnp.float32) ** 2, axis=-1))
+                self._global_ids = self._global_ids.at[s].set(
+                    jnp.asarray(z["global_ids"][s]))
+                self._counts[s] = z["counts"][s]
+                sc["entry"][s] = z["entry"][s]
+                sc["max_level"][s] = z["max_level"][s]
+                sc["n_upper"][s] = z["n_upper"][s]
+                states = json.loads(bytes(z["rng_states"].item()).decode())
+                self._builders[s].rng.bit_generator.state = states[s]
+                self._shard_ok[s] = True
+            self._graph = g
+        self._flush_scalars()
+        return shards
 
     # ------------------------------------------------- deletion / filtering
     @property
@@ -379,6 +507,7 @@ class ShardedHnswIndex:
                  for b in self._builders]).encode()),
             removed=(self._removed if self._removed is not None
                      else np.zeros(0, bool)),
+            shard_ok=self._shard_ok,
             config_json=np.bytes_(self.config.to_json()), **arrs)
 
     @classmethod
@@ -412,6 +541,8 @@ class ShardedHnswIndex:
                 b.rng.bit_generator.state = st
             if "removed" in z.files and z["removed"].size:
                 idx._removed = z["removed"].copy()
+            if "shard_ok" in z.files:
+                idx._shard_ok = z["shard_ok"].copy()
         return idx
 
     def check(self, strict: bool = True) -> list[dict]:
@@ -445,11 +576,15 @@ class ShardedHnswIndex:
         qp = self.mesh.shape[QUERY_AXIS]
         pad = (-len(x)) % qp
         xq = np.pad(x, ((0, pad), (0, 0)))
-        fn = self._get_search(k, max(ef, k), filtered=permit is not None)
+        degraded = not self._shard_ok.all()
+        fn = self._get_search(k, max(ef, k), filtered=permit is not None,
+                              degraded=degraded)
         args = (self._graph, self._vectors, self._sqnorms,
                 self._global_ids, jnp.asarray(xq))
         if permit is not None:
             args += (jnp.asarray(permit),)
+        if degraded:
+            args += (jnp.asarray(self._shard_ok),)
         d, i = fn(*args)
         return (np.asarray(d)[: len(x)],
                 np.asarray(i, np.int64)[: len(x)])
