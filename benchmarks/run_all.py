@@ -103,6 +103,39 @@ def run_config(name: str, scale: float, out):
         gt = np.asarray(gt)
         logging.info("brute-force GT: %.1fs", time.time() - t0)
 
+    # packed serving mode, mirroring bench.py: auto-enable when the code
+    # table leaves HBM headroom, then a packed-vs-unpacked recall canary at
+    # one ef — a diverging packed path is disabled, never timed
+    # (BENCH_PACKED=0 disables, =4/=8 forces)
+    packed_env = os.environ.get("BENCH_PACKED", "auto")
+    packed_bits = 0
+    if packed_env != "0" and not big:
+        bits = int(packed_env) if packed_env in ("4", "8") else 8
+        est = idx.ntotal * idx.config.m0 * (d * bits // 8 + 4)
+        if packed_env in ("4", "8") or est <= 9e9:
+            t0 = time.time()
+            try:
+                nb = idx.enable_packed(bits=bits)
+                packed_bits = bits
+                logging.info("packed tables: %.2f GB (%d-bit) in %.1fs",
+                             nb / 1e9, bits, time.time() - t0)
+            except Exception as e:  # noqa: BLE001 — fall back to unpacked
+                logging.info("packed mode unavailable: %r", e)
+    if packed_bits:
+        nc = min(len(wl.queries), 1024)
+        qc = jnp.asarray(np.asarray(wl.queries[:nc], np.float32))
+        _, ic_p = idx.search(qc, k=10, ef_search=64, use_packed=True)
+        _, ic_u = idx.search(qc, k=10, ef_search=64, use_packed=False)
+        r_p = recall_at_k(np.asarray(ic_p), gt[:nc], 10)
+        r_u = recall_at_k(np.asarray(ic_u), gt[:nc], 10)
+        if r_p < r_u - 0.05:
+            logging.info("PACKED CANARY FAILED (%.4f vs %.4f) — disabling",
+                         r_p, r_u)
+            idx.disable_packed()
+            packed_bits = 0
+        else:
+            logging.info("packed canary ok: %.4f / %.4f", r_p, r_u)
+
     # timed sweep: queries staged on device once, results stay device-side
     # during timing (tunneled D2H would dominate), best-of-reps (bench.py
     # robustness lesson from round 1)
@@ -126,6 +159,7 @@ def run_config(name: str, scale: float, out):
             "qps": round(len(wl.queries) / dt, 1),
             "build_seconds": round(build_s, 1),
             "batch": len(wl.queries),
+            "packed_bits": packed_bits,
         }
         print(json.dumps(rec), flush=True)
         out.write(json.dumps(rec) + "\n")

@@ -94,7 +94,8 @@ class ShardedHnswIndex:
         g = empty_graph(cfg)
         self._graph = GraphArrays(*[stacked(x) for x in g])
         self._vectors = jax.device_put(
-            jnp.zeros((S, cfg.capacity, cfg.dim), jnp.dtype(cfg.dtype)),
+            jnp.zeros((S, cfg.capacity, cfg.dim),
+                      jnp.dtype(cfg.storage_dtype)),
             self._sh)
         self._sqnorms = jax.device_put(
             jnp.zeros((S, cfg.capacity), jnp.float32), self._sh)
@@ -117,22 +118,50 @@ class ShardedHnswIndex:
         # queries keep serving over the survivors (degraded coverage) until
         # restore_shards() reloads it from a checkpoint.
         self._shard_ok = np.ones(self.n_shards, bool)
+        # sq8 storage (models/hnsw.py semantics, ONE quantizer shared by all
+        # shards): per-dim affine params, set by train() before any add()
+        self._sq_np: tuple | None = None
+        self.is_trained = not self.config.is_sq
 
     @property
     def ntotal(self) -> int:
         return self._ntotal
 
     # ------------------------------------------------------------------ add
+    def train(self, x: np.ndarray) -> None:
+        """No-op for flat storage; for sq8, trains the shared per-dim
+        ScalarQuantizer range (models/hnsw.py semantics — one quantizer for
+        every shard, so user-id semantics and save/load stay uniform)."""
+        if not self.config.is_sq:
+            return
+        if self._ntotal:
+            raise RuntimeError("train() after add(): stored codes would "
+                               "decode under different params")
+        from ..ops.packed import quantization_params
+        x = np.asarray(x, np.float32)
+        off, sc = quantization_params(
+            jnp.asarray(x), jnp.ones((len(x),), jnp.bool_), 8)
+        self._sq_np = (np.asarray(off, np.float32),
+                       np.asarray(sc, np.float32))
+        self.is_trained = True
+
+    def _sq_encode(self, x: np.ndarray) -> np.ndarray:
+        off, sc = self._sq_np
+        u = np.clip(np.round((x - off) / sc), 0, 255).astype(np.float32)
+        return off + sc * u
+
     def _get_step(self, efc: int):
         if efc not in self._steps:
             cfg = self.config
+            sq_params = self._sq_np
 
             def sharded_step(graph, vectors, sqnorms, gids, xb, ids, levels,
                              slots, user_ids):
                 g, v, sq, _bl_drops = _insert_batch(
                     _local(graph), _local(vectors), _local(sqnorms),
                     xb[0], ids[0], levels[0], slots[0],
-                    cfg=cfg, ef_construction=efc, intra_k=32, r_window=16)
+                    cfg=cfg, ef_construction=efc, intra_k=32, r_window=16,
+                    sq_params=sq_params)
                 gi = gids[0].at[ids[0]].set(user_ids[0], mode="drop")
                 return _relift(g), v[None], sq[None], gi[None]
 
@@ -151,6 +180,10 @@ class ShardedHnswIndex:
         x = np.ascontiguousarray(np.asarray(x, np.float32))
         if x.ndim != 2 or x.shape[1] != cfg.dim:
             raise ValueError(f"expected [n, {cfg.dim}], got {x.shape}")
+        if not self.is_trained:
+            raise RuntimeError("sq8 storage: call train(x) before add()")
+        if cfg.is_sq:  # the whole build sees x̂, storage writes re-encode
+            x = self._sq_encode(x)
         S = self.n_shards
         user_ids = np.arange(self._ntotal, self._ntotal + len(x))
         shard_of = user_ids % S
@@ -244,7 +277,13 @@ class ShardedHnswIndex:
     def _graph_seed(self, s: int, x0: np.ndarray, level: int):
         sc = self._host_scalars()
         g, v, sq = self._graph, self._vectors, self._sqnorms
-        v = v.at[s, 0].set(jnp.asarray(x0, v.dtype))
+        if self.config.is_sq:  # x0 is x̂ — encode back to the stored code
+            off, scale = self._sq_np
+            x0_store = np.clip(np.round((x0 - off) / scale), 0,
+                               255).astype(np.uint8)
+        else:
+            x0_store = x0
+        v = v.at[s, 0].set(jnp.asarray(x0_store, v.dtype))
         sq = sq.at[s, 0].set(float((x0.astype(np.float64) ** 2).sum()))
         g = g._replace(levels=g.levels.at[s, 0].set(level))
         if level >= 1:
@@ -282,6 +321,10 @@ class ShardedHnswIndex:
         key = (k, ef, filtered, degraded)
         if key not in self._searches:
             cfg = self.config
+            # sq8: (offset, scale) close over the program as trace-time
+            # constants (d floats; params are frozen by train-before-add)
+            dq = None if self._sq_np is None else \
+                (jnp.asarray(self._sq_np[0]), jnp.asarray(self._sq_np[1]))
 
             def fanout(graph, vectors, sqnorms, gids, queries, *rest):
                 rest = list(rest)
@@ -295,7 +338,8 @@ class ShardedHnswIndex:
                 d, i = hnsw_search(
                     _local(graph), vectors[0], sqnorms[0], queries,
                     k=k, ef_search=ef, metric=cfg.metric,
-                    max_level_cap=cfg.max_level_cap, allowed=allowed_loc)
+                    max_level_cap=cfg.max_level_cap, allowed=allowed_loc,
+                    dequant=dq)
                 # local rows -> user ids before leaving the shard
                 gi = jnp.where(i >= 0, gids[0][jnp.maximum(i, 0)], -1)
                 if degraded:
@@ -382,13 +426,17 @@ class ShardedHnswIndex:
         """[S] self-query hit flags + distances (device, one shard_map)."""
         if "probe" not in self._searches:
             cfg = self.config
+            dq = None if self._sq_np is None else \
+                (jnp.asarray(self._sq_np[0]), jnp.asarray(self._sq_np[1]))
 
             def probe(graph, vectors, sqnorms):
                 q = vectors[0, 0:1].astype(jnp.float32)
+                if dq is not None:  # stored codes -> x̂ for the probe query
+                    q = dq[0] + dq[1] * q
                 d, i = hnsw_search(
                     _local(graph), vectors[0], sqnorms[0], q, k=1,
                     ef_search=8, metric=cfg.metric,
-                    max_level_cap=cfg.max_level_cap)
+                    max_level_cap=cfg.max_level_cap, dequant=dq)
                 hit = (i[0, 0] == 0) & jnp.isfinite(d[0, 0])
                 return hit[None], d[0, 0][None]
 
@@ -424,8 +472,11 @@ class ShardedHnswIndex:
                         jnp.asarray(z[f"graph_{k}"][s]))})
                 vec = jnp.asarray(z["vectors"][s])
                 self._vectors = self._vectors.at[s].set(vec)
+                vf = vec.astype(jnp.float32)
+                if self._sq_np is not None:
+                    vf = self._sq_np[0] + self._sq_np[1] * vf
                 self._sqnorms = self._sqnorms.at[s].set(
-                    jnp.sum(vec.astype(jnp.float32) ** 2, axis=-1))
+                    jnp.sum(vf ** 2, axis=-1))
                 self._global_ids = self._global_ids.at[s].set(
                     jnp.asarray(z["global_ids"][s]))
                 self._counts[s] = z["counts"][s]
@@ -508,7 +559,10 @@ class ShardedHnswIndex:
             removed=(self._removed if self._removed is not None
                      else np.zeros(0, bool)),
             shard_ok=self._shard_ok,
-            config_json=np.bytes_(self.config.to_json()), **arrs)
+            config_json=np.bytes_(self.config.to_json()),
+            **({"sq_offset": self._sq_np[0], "sq_scale": self._sq_np[1]}
+               if self._sq_np is not None else {}),
+            **arrs)
 
     @classmethod
     def load(cls, path: str, *, mesh: Mesh | None = None):
@@ -524,10 +578,14 @@ class ShardedHnswIndex:
             idx._graph = GraphArrays(**{
                 k: jax.device_put(jnp.asarray(z[f"graph_{k}"]), idx._sh)
                 for k in GraphArrays._fields})
+            if "sq_offset" in z.files:
+                idx._sq_np = (z["sq_offset"].copy(), z["sq_scale"].copy())
+                idx.is_trained = True
             idx._vectors = jax.device_put(jnp.asarray(z["vectors"]), idx._sh)
-            idx._sqnorms = jax.device_put(
-                jnp.sum(jnp.asarray(z["vectors"]).astype(jnp.float32) ** 2,
-                        axis=-1), idx._sh)
+            vf = jnp.asarray(z["vectors"]).astype(jnp.float32)
+            if idx._sq_np is not None:
+                vf = idx._sq_np[0] + idx._sq_np[1] * vf
+            idx._sqnorms = jax.device_put(jnp.sum(vf ** 2, axis=-1), idx._sh)
             idx._global_ids = jax.device_put(jnp.asarray(z["global_ids"]),
                                              idx._sh)
             idx._counts = counts.copy()

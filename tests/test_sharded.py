@@ -171,3 +171,32 @@ def test_uneven_shard_counts():
     assert recall_at_k(i, gt, 10) >= 0.95
     for st in idx.check():
         assert st["errors"] == []
+
+
+def test_sharded_sq8_storage(tmp_path):
+    """sq8 storage composes with the sharded build/search (one shared
+    quantizer across shards, models/hnsw.py semantics)."""
+    mesh = make_mesh(n_shards=4, q_parallel=2)
+    wl = synthetic_workload(2000, 16, n_queries=64, metric="l2", seed=61)
+    idx = ShardedHnswIndex(16, 8, "l2", mesh=mesh, capacity_per_shard=1024,
+                           ef_construction=60, seed=11, dtype="sq8")
+    assert not idx.is_trained
+    with pytest.raises(RuntimeError, match="train"):
+        idx.add(wl.base)
+    idx.train(wl.base)
+    idx.add(wl.base)
+    assert str(idx._vectors.dtype) == "uint8"
+    _, gt = exact_knn(wl.base, wl.queries, 10, "l2")
+    d, i = idx.search(wl.queries, k=10, ef_search=64)
+    r = recall_at_k(i, gt, 10)
+    assert r >= 0.9, r
+    # health probe understands code storage
+    assert all(s["ok"] for s in idx.health_check())
+    # save/load keeps params + codes
+    p = str(tmp_path / "sq_sharded.npz")
+    idx.save(p)
+    idx2 = ShardedHnswIndex.load(p, mesh=mesh)
+    assert idx2.is_trained and str(idx2._vectors.dtype) == "uint8"
+    d2, i2 = idx2.search(wl.queries, k=10, ef_search=64)
+    np.testing.assert_array_equal(i, i2)
+    np.testing.assert_allclose(d, d2, rtol=1e-5)
