@@ -10,6 +10,7 @@ from .factory import index_factory
 from .graph import GraphArrays, check_invariants, load_graph, save_graph
 from .models.brute import FlatIndex
 from .models.hnsw import HnswIndex
+from .models.idmap import IdMapIndex
 from .ops.distances import brute_force_topk
 from .ops.packed import PackedNeighbors, pack_neighbors
 from .parallel.sharded import ShardedHnswIndex, make_mesh
@@ -20,6 +21,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "IP", "L2", "HnswConfig", "GraphArrays", "HnswIndex", "FlatIndex",
+    "IdMapIndex",
     "NumpyHnsw", "ShardedHnswIndex", "make_mesh",
     "brute_force_topk", "hnsw_search", "check_invariants",
     "PackedNeighbors", "pack_neighbors",

@@ -8,6 +8,8 @@ Supported specs (the subset meaningful for this engine):
   * ``"HNSW32,SQ8"``  -> sq8 scalar-quantized storage (faiss IndexHNSWSQ
                           with ScalarQuantizer.QT_8bit): train() required
   * ``"Flat"``        -> FlatIndex (exact search)
+  * ``"IDMap,..."``   -> IdMapIndex wrapping any of the above (faiss
+                          IndexIDMap: user-chosen int64 ids, add_with_ids)
 Metric: "l2" (faiss METRIC_L2) or "ip" (METRIC_INNER_PRODUCT).
 """
 
@@ -24,6 +26,11 @@ def index_factory(d: int, spec: str, metric: str = L2, **kw):
     parts = [p.strip() for p in spec.split(",") if p.strip()]
     if not parts:
         raise ValueError(f"empty index spec {spec!r}")
+    if parts[0] == "IDMap":
+        from .models.idmap import IdMapIndex
+        if len(parts) == 1:
+            raise ValueError(f"IDMap needs a wrapped spec, got {spec!r}")
+        return IdMapIndex(index_factory(d, ",".join(parts[1:]), metric, **kw))
     head = parts[0]
     if head == "Flat":
         if len(parts) > 1:
