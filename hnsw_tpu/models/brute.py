@@ -57,3 +57,34 @@ class FlatIndex:
 
     def reconstruct(self, i: int) -> np.ndarray:
         return np.asarray(self._materialize()[i], np.float32)
+
+    def range_search(self, x: np.ndarray, radius: float):
+        """Exact range search, faiss ``IndexFlat.range_search`` semantics:
+        L2 keeps squared distance < radius; IP keeps dot > radius. Returns
+        (lims [nq+1], D, I) in faiss's CSR layout, per-query results sorted
+        best-first."""
+        x = np.asarray(x, np.float32)
+        base = np.asarray(self._materialize(), np.float32)
+        if self.metric == L2:
+            d2 = ((x ** 2).sum(1)[:, None] + (base ** 2).sum(1)[None]
+                  - 2.0 * x @ base.T)
+            keep = d2 < radius
+            score = d2
+            order_sign = 1.0
+        else:
+            dots = x @ base.T
+            keep = dots > radius
+            score = dots
+            order_sign = -1.0
+        lims = np.zeros(len(x) + 1, np.int64)
+        ds, is_ = [], []
+        for qi in range(len(x)):
+            rows = np.flatnonzero(keep[qi])
+            rows = rows[np.argsort(order_sign * score[qi, rows],
+                                   kind="stable")]
+            lims[qi + 1] = lims[qi] + len(rows)
+            ds.append(score[qi, rows])
+            is_.append(rows)
+        return (lims, np.concatenate(ds) if ds else np.zeros(0, np.float32),
+                np.concatenate(is_).astype(np.int64) if is_
+                else np.zeros(0, np.int64))

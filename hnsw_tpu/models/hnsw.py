@@ -349,6 +349,29 @@ class HnswIndex:
             return d, i
         return np.asarray(d), np.asarray(i, np.int64)
 
+    def range_search(self, x: np.ndarray, radius: float, *,
+                     ef_search: int | None = None, **kw):
+        """faiss ``IndexHNSW.range_search`` semantics: L2 keeps squared
+        distance < radius, IP keeps dot > radius; returns (lims [nq+1], D,
+        I) in faiss's CSR layout, per-query best-first. Like faiss's, the
+        result is bounded by the beam traversal: at most ``ef_search``
+        candidates per query are examined for the radius test — raise it to
+        widen coverage (FlatIndex.range_search is the exact oracle)."""
+        ef = int(ef_search or self.ef_search)
+        d, i = self.search(x, k=ef, ef_search=ef, **kw)
+        d = np.asarray(d)
+        i = np.asarray(i, np.int64)
+        if self.config.metric == L2:
+            keep = (i >= 0) & (d < radius)
+        else:
+            d = -d  # engine returns -dot ascending; faiss reports the dot
+            keep = (i >= 0) & (d > radius)
+        lims = np.zeros(len(d) + 1, np.int64)
+        np.cumsum(keep.sum(1), out=lims[1:])
+        # rows are already sorted best-first by the engine; IP rows are
+        # ascending in -dot == descending in dot, which is best-first too
+        return lims, d[keep], i[keep]
+
     def _normalize_allowed(self, allowed) -> jax.Array:
         """Normalize a user id filter to a bool [capacity] mask, by dtype and
         shape — NOT by host/device residency. Accepts an int id-whitelist or
