@@ -21,7 +21,10 @@ Parallelism-axis map (SURVEY.md §2b): "shard" = dataset sharding, "q" =
 query data-parallelism. TP/PP/EP/etc. have no ANN meaning — documented there.
 
 Multi-host: build the mesh from ``jax.distributed.initialize``'d devices and
-everything below works unchanged (XLA collectives ride ICI/DCN).
+everything below works unchanged (XLA collectives ride ICI/DCN) — exercised
+by tests/test_multihost.py: two distributed processes x 4 virtual CPU
+devices run build, fan-out search, and degraded serving over the spanning
+8-device mesh (Gloo collectives standing in for DCN).
 """
 
 from __future__ import annotations
