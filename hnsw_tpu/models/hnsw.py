@@ -349,6 +349,39 @@ class HnswIndex:
             return d, i
         return np.asarray(d), np.asarray(i, np.int64)
 
+    def tune_ef_search(self, x: np.ndarray, target_recall: float = 0.95,
+                       *, k: int = 10, set_default: bool = True,
+                       ef_grid=(16, 24, 32, 48, 64, 96, 128, 192, 256,
+                                384, 512)) -> int:
+        """faiss AutoTune analogue: find the smallest efSearch whose
+        recall@k on ``x`` (vs this index's own exact oracle, computed with
+        the brute-force kernel over the stored vectors) reaches
+        ``target_recall``. Cheap here because ef is a runtime scalar — no
+        recompile between grid points beyond the pow-2 buffer buckets.
+        Returns the chosen ef (the largest grid point if the target is
+        never reached) and, with ``set_default``, installs it as
+        ``self.ef_search``."""
+        from ..ops.distances import brute_force_topk
+        from ..utils.recall import recall_at_k
+        x = jnp.asarray(np.asarray(x, np.float32))
+        # exact oracle over the stored vectors (x̂ for sq8 — the same values
+        # every search distance sees)
+        _, gt = brute_force_topk(x, self._vectors, k=k,
+                                 metric=self.config.metric,
+                                 n_valid=self.ntotal, dequant=self._sq)
+        gt = np.asarray(gt)
+        chosen = ef_grid[-1]
+        for ef in ef_grid:
+            if ef < k:
+                continue
+            _, ii = self.search(x, k=k, ef_search=ef)
+            if recall_at_k(np.asarray(ii), gt, k) >= target_recall:
+                chosen = ef
+                break
+        if set_default:
+            self.ef_search = int(chosen)
+        return int(chosen)
+
     def range_search(self, x: np.ndarray, radius: float, *,
                      ef_search: int | None = None, **kw):
         """faiss ``IndexHNSW.range_search`` semantics: L2 keeps squared

@@ -68,6 +68,7 @@ def brute_force_topk(
     tile_q: int = 0,
     base_sqnorms: jax.Array | None = None,
     n_valid: jax.Array | int | None = None,
+    dequant=None,
 ):
     """Exact k-NN: returns (dists [Q, k], ids [Q, k]) sorted ascending.
 
@@ -78,12 +79,20 @@ def brute_force_topk(
     ``n_valid``: rows >= n_valid are excluded (traced scalar — lets callers
     pass a partially-filled capacity-sized array directly; an eager
     ``base[:n]`` slice would materialize a full copy, multi-GB at scale).
+
+    ``dequant``: (offset [d], scale [d]) when ``base`` holds sq8 codes —
+    tiles are dequantized in-register (never materializing an f32 copy of
+    the table), making this the exact oracle over x̂ for sq8 indexes.
     """
     q, d = queries.shape
     n = base.shape[0]
     if n_valid is None:
         n_valid = n
     queries = queries.astype(jnp.float32)
+    if dequant is not None and base_sqnorms is None:
+        base_sqnorms = jnp.sum(
+            (dequant[0] + dequant[1] * base.astype(jnp.float32)) ** 2,
+            axis=-1)
 
     def finalize(dist, idx):
         # slots that only ever saw masked (+inf) rows are not real results
@@ -99,12 +108,14 @@ def brute_force_topk(
         pads = (-q) % tile_q
         qp = jnp.pad(queries, ((0, pads), (0, 0)))
         fn = lambda qt: brute_force_topk(qt, base, k, metric, tile_n, 0,
-                                         base_sqnorms, n_valid)
+                                         base_sqnorms, n_valid, dequant)
         dist, idx = jax.lax.map(fn, qp.reshape(-1, tile_q, d))
         return dist.reshape(-1, k)[:q], idx.reshape(-1, k)[:q]
 
     if n <= tile_n:
-        dm = pairwise_distances(queries, base, metric, base_sqnorms)
+        bset = base if dequant is None else \
+            dequant[0] + dequant[1] * base.astype(jnp.float32)
+        dm = pairwise_distances(queries, bset, metric, base_sqnorms)
         col = jax.lax.broadcasted_iota(jnp.int32, dm.shape, 1)
         dm = jnp.where(col < n_valid, dm, jnp.inf)
         neg_top, idx = jax.lax.top_k(-dm, min(k, n))
@@ -127,6 +138,8 @@ def brute_force_topk(
     def step(carry, inp):
         t_idx, tile, tile_sq = inp
         best_d, best_i = carry
+        if dequant is not None:  # sq8 codes -> x̂, in-register per tile
+            tile = dequant[0] + dequant[1] * tile.astype(jnp.float32)
         dm = pairwise_distances(queries, tile, metric, tile_sq)
         # mask padded rows of the final tile
         col = jax.lax.broadcasted_iota(jnp.int32, dm.shape, 1)

@@ -68,3 +68,27 @@ def test_bf16_storage(small_workload):
     _, i = idx.search(wl.queries, k=10, ef_search=64)
     _, ti = exact_knn(wl.base[:800], wl.queries, 10, "l2")
     assert recall_at_k(i, ti, 10) >= 0.85  # bf16 storage costs a little recall
+
+
+def test_tune_ef_search():
+    """faiss AutoTune analogue: the smallest grid ef reaching the target
+    recall on a held-out query set, installed as the default."""
+    import hnsw_tpu
+    from hnsw_tpu.utils.datasets import synthetic_workload
+
+    wl = synthetic_workload(2000, 16, n_queries=64, metric="l2", seed=95)
+    idx = hnsw_tpu.HnswIndex(16, 8, "l2", capacity=2048, ef_construction=80)
+    idx.add(wl.base)
+    ef = idx.tune_ef_search(wl.queries, target_recall=0.95, k=10)
+    assert ef in (16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512)
+    assert idx.ef_search == ef
+    # the chosen ef genuinely reaches the target vs the exact oracle
+    from conftest import exact_knn
+    from hnsw_tpu.utils.recall import recall_at_k
+    _, gt = exact_knn(wl.base, wl.queries, 10, "l2")
+    _, i = idx.search(wl.queries, 10)
+    assert recall_at_k(i, gt, 10) >= 0.95
+    # unreachable target falls back to the largest grid point
+    ef_hi = idx.tune_ef_search(wl.queries, target_recall=1.01,
+                               set_default=False, ef_grid=(16, 32))
+    assert ef_hi == 32 and idx.ef_search == ef
