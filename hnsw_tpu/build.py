@@ -155,6 +155,7 @@ def _insert_batch(
     n_expand: int = 4,
     hop_cap: int = 0,
     sq_params=None,
+    pq_cb=None,
 ):
     B = xb.shape[0]
     capacity = cfg.capacity
@@ -168,13 +169,29 @@ def _insert_batch(
     # sq8 storage (faiss IndexHNSWSQ parity): xb arrives as the DEQUANTIZED
     # x̂ (HnswIndex quantizes at the API boundary so the whole build sees
     # exactly the values a post-add faiss SQ index would); the write encodes
-    # back to codes and every stored-vector gather dequantizes in-register
+    # back to codes and every stored-vector gather dequantizes in-register.
+    # pq storage (faiss IndexHNSWPQ parity) works the same way: xb is the
+    # PQ reconstruction x̂; the write re-encodes (encode(decode(c)) == c up
+    # to duplicate centroids, which decode identically), and stored-vector
+    # reads decode against the codebooks.
     xf = xb.astype(jnp.float32)
     if sq_params is not None:
         from .ops.packed import quantize_codes
         stored = quantize_codes(xf, sq_params[0], sq_params[1], 8)
+    elif pq_cb is not None:
+        from .ops.pq import encode_pq
+        stored = encode_pq(xf, pq_cb)
     else:
         stored = xb.astype(vectors.dtype)
+
+    def read_rows(raw):  # gathered storage rows -> f32 vectors (x̂ for codecs)
+        if pq_cb is not None:
+            from .ops.pq import decode_pq
+            return decode_pq(raw, pq_cb)
+        v = raw.astype(jnp.float32)
+        if sq_params is not None:
+            v = sq_params[0] + sq_params[1] * v
+        return v
     vectors = vectors.at[ids].set(stored, mode="drop")
     sqnorms = sqnorms.at[ids].set(jnp.sum(xf * xf, axis=1), mode="drop")
     new_levels = graph.levels.at[ids].set(levels, mode="drop")
@@ -186,7 +203,7 @@ def _insert_batch(
                            upper_node=new_unode)
 
     distance_to = _make_distance_fn(vectors, sqnorms, xf, metric,
-                                    dequant=sq_params)
+                                    dequant=sq_params, pq=pq_cb)
     qsq = jnp.sum(xf * xf, axis=1, keepdims=True)  # for surrogate -> true L2
 
     def to_true(d):
@@ -228,7 +245,7 @@ def _insert_batch(
     b_up = upper_batch_cap(B, cfg.m)
     xf_up = xf[:b_up]
     dist_up = _make_distance_fn(vectors, sqnorms, xf_up, metric,
-                                dequant=sq_params)
+                                dequant=sq_params, pq=pq_cb)
     qsq_up = qsq[:b_up]
     slots_up = slots[:b_up]
     ids_safe_up = ids_safe[:b_up]
@@ -260,9 +277,7 @@ def _insert_batch(
                 state.buf_ids, state.buf_dist)
             cand_ids = jnp.where(active[:, None], buf_ids_d, -1)
             cand_true = buf_dist_d + qsq_up if metric == L2 else buf_dist_d
-            cand_vecs = vectors[jnp.maximum(cand_ids, 0)].astype(jnp.float32)
-            if sq_params is not None:
-                cand_vecs = sq_params[0] + sq_params[1] * cand_vecs
+            cand_vecs = read_rows(vectors[jnp.maximum(cand_ids, 0)])
             kept, _ = select_neighbors(cand_ids, cand_true, cand_vecs,
                                        m=cfg.m, metric=metric)
 
@@ -280,7 +295,7 @@ def _insert_batch(
             dst_rows = jnp.where(pair_ok, new_uslot[jnp.maximum(dst, 0)], -1)
             adj_l, ndrop = apply_backlinks(
                 adj_l, jnp.maximum(dst_rows, 0), dst, src,
-                pair_ok & (dst_rows >= 0), vectors, sq_params,
+                pair_ok & (dst_rows >= 0), vectors, sq_params, pq_cb,
                 r_window=r_window, metric=metric)
             upper_adj2 = jax.lax.dynamic_update_index_in_dim(
                 upper_adj, adj_l, lidx, axis=1)
@@ -330,9 +345,7 @@ def _insert_batch(
         [jnp.where(valid_p[:, None], buf_ids_d, -1), intra_ids], axis=1)
     cand_true = jnp.concatenate(
         [to_true(buf_dist_d), to_true(intra_d)], axis=1)
-    cand_vecs = vectors[jnp.maximum(cand_ids, 0)].astype(jnp.float32)
-    if sq_params is not None:
-        cand_vecs = sq_params[0] + sq_params[1] * cand_vecs
+    cand_vecs = read_rows(vectors[jnp.maximum(cand_ids, 0)])
     # faiss parity: a new node gets M forward links at level 0 (the m0 = 2M
     # row width is headroom for back-link growth, not the insert fanout —
     # faiss add_links_starting_from shrinks to M). Also halves the back-link
@@ -349,7 +362,7 @@ def _insert_batch(
                                             kept0.shape).reshape(-1)
     neighbors0, ndrop0 = apply_backlinks(
         neighbors0, jnp.maximum(dst, 0), dst, src, pair_ok, vectors,
-        sq_params, r_window=r_window, metric=metric)
+        sq_params, pq_cb, r_window=r_window, metric=metric)
     bl_dropped = bl_dropped + ndrop0
 
     graph = graph._replace(neighbors0=neighbors0, upper_neighbors=upper_adj)
@@ -375,6 +388,7 @@ def _insert_batch_staged(
     n_expand: int = 4,
     hop_cap: int = 0,
     sq_params=None,
+    pq_cb=None,
 ):
     """One insert batch sliced out of device-staged arrays + on-device scalar
     (entry point / max level / counters) updates.
@@ -396,7 +410,7 @@ def _insert_batch_staged(
         graph, vectors, sqnorms, xb, ids, levels, slots, cfg=cfg,
         ef_construction=ef_construction, intra_k=intra_k,
         r_window=r_window, n_expand=n_expand, hop_cap=hop_cap,
-        sq_params=sq_params)
+        sq_params=sq_params, pq_cb=pq_cb)
 
     # scalar bookkeeping on device (no host round-trip between batches)
     batch_max = jnp.max(levels)                       # -1 when take == 0
@@ -437,7 +451,7 @@ class DeviceBuilder:
 
     def __init__(self, cfg: HnswConfig, *, max_batch: int = 2048,
                  intra_k: int = 32, r_window: int = 16, n_expand: int = 4,
-                 hop_cap: int = 0, sq_params=None):
+                 hop_cap: int = 0, sq_params=None, pq_cb=None):
         self.cfg = cfg
         self.rng = np.random.default_rng(cfg.seed)
         self.max_batch = max_batch
@@ -454,6 +468,11 @@ class DeviceBuilder:
         if sq_params is not None:
             self.sq_params = (np.asarray(sq_params[0], np.float32),
                               np.asarray(sq_params[1], np.float32))
+        # pq codebooks (faiss IndexHNSWPQ): f32 [m_sub, ksub, dsub] trace
+        # constants, same lifecycle rationale as sq_params above
+        self.pq_cb = None
+        if pq_cb is not None:
+            self.pq_cb = np.asarray(pq_cb, np.float32)
         self._steps: dict = {}
         # back-link pairs beyond the repair R-window, lost per add() call /
         # lifetime (observability for ops/repair.py's "rare" claim)
@@ -511,7 +530,8 @@ class DeviceBuilder:
                                   r_window=self.r_window,
                                   n_expand=self.n_expand,
                                   hop_cap=self.hop_cap,
-                                  sq_params=self.sq_params),
+                                  sq_params=self.sq_params,
+                                  pq_cb=self.pq_cb),
                 donate_argnums=(0, 1, 2), **kw,
             )
         return self._steps[key]
@@ -529,7 +549,8 @@ class DeviceBuilder:
                                      r_window=self.r_window,
                                      n_expand=self.n_expand,
                                      hop_cap=self.hop_cap,
-                                     sq_params=self.sq_params)
+                                     sq_params=self.sq_params,
+                                     pq_cb=self.pq_cb)
 
             def chunk(graph, vectors, sqnorms, xs, ids_s, lv_s, sl_s,
                       offsets, takes):
@@ -569,6 +590,7 @@ class DeviceBuilder:
                       out_shardings=(rm2, None, None, None, None))
 
         sq_params = self.sq_params
+        pq_cb = self.pq_cb
 
         @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4), **kw)
         def seed(vectors, sqnorms, levels, upper_slot, upper_node, x0):
@@ -576,6 +598,9 @@ class DeviceBuilder:
                 from .ops.packed import quantize_codes
                 stored0 = quantize_codes(x0[None], sq_params[0],
                                          sq_params[1], 8)[0]
+            elif pq_cb is not None:    # x0 is the PQ x̂0 — re-encode
+                from .ops.pq import encode_pq
+                stored0 = encode_pq(x0[None], pq_cb)[0]
             else:
                 stored0 = x0.astype(vectors.dtype)
             return (vectors.at[0].set(stored0),

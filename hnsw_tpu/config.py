@@ -54,7 +54,8 @@ class HnswConfig:
     level_mult: float = -1.0  # -1 -> 1/ln(m)
     max_level_cap: int = 6
     upper_capacity: int = -1  # -1 -> auto
-    dtype: str = "float32"  # vector storage dtype: float32 | bfloat16
+    dtype: str = "float32"  # vector storage: float32 | bfloat16 | sq8 | pq
+    pq_m: int = 0  # sub-quantizers for dtype="pq" (must divide dim)
     seed: int = 42
 
     def __post_init__(self):
@@ -62,8 +63,15 @@ class HnswConfig:
             raise ValueError(f"metric must be one of {_METRICS}, got {self.metric!r}")
         if self.dim <= 0 or self.m <= 1 or self.capacity <= 0:
             raise ValueError("dim, m, capacity must be positive (m > 1)")
-        if self.dtype not in ("float32", "bfloat16", "sq8"):
+        if self.dtype not in ("float32", "bfloat16", "sq8", "pq"):
             raise ValueError(f"unsupported storage dtype {self.dtype!r}")
+        if self.dtype == "pq":
+            if self.pq_m <= 0 or self.dim % self.pq_m:
+                raise ValueError(
+                    f"dtype='pq' needs pq_m > 0 dividing dim "
+                    f"(got pq_m={self.pq_m}, dim={self.dim})")
+        elif self.pq_m:
+            raise ValueError("pq_m is only meaningful with dtype='pq'")
         if self.capacity >= 1 << 24:
             # ids ride through one-hot f32 matmuls in the prune/compaction
             # kernels (ops/prune.py) — exact only below 2^24. Larger corpora
@@ -90,9 +98,23 @@ class HnswConfig:
         return self.dtype == "sq8"
 
     @property
+    def is_pq(self) -> bool:
+        """Product-quantized vector storage (faiss ``IndexHNSWPQ`` /
+        ``ProductQuantizer`` parity, 8 bits/sub-code): vectors live as
+        uint8 codes [*, pq_m] + per-subspace codebooks; every distance is
+        the ADC value — exact against the reconstruction x̂. Requires
+        ``train()``."""
+        return self.dtype == "pq"
+
+    @property
     def storage_dtype(self) -> str:
         """The actual device-array dtype backing vector storage."""
-        return "uint8" if self.is_sq else self.dtype
+        return "uint8" if (self.is_sq or self.is_pq) else self.dtype
+
+    @property
+    def storage_width(self) -> int:
+        """Columns of the vector-storage array: pq_m codes for PQ, else d."""
+        return self.pq_m if self.is_pq else self.dim
 
     # -- serialization ------------------------------------------------------
     def to_json(self) -> str:

@@ -7,6 +7,8 @@ Supported specs (the subset meaningful for this engine):
   * ``"HNSW16,Flat"`` -> same (flat f32 storage, faiss IndexHNSWFlat)
   * ``"HNSW32,SQ8"``  -> sq8 scalar-quantized storage (faiss IndexHNSWSQ
                           with ScalarQuantizer.QT_8bit): train() required
+  * ``"HNSW32,PQ16"`` -> product-quantized storage, 16 sub-quantizers x
+                          8 bits (faiss IndexHNSWPQ): train() required
   * ``"Flat"``        -> FlatIndex (exact search)
   * ``"IDMap,..."``   -> IdMapIndex wrapping any of the above (faiss
                           IndexIDMap: user-chosen int64 ids, add_with_ids)
@@ -38,14 +40,18 @@ def index_factory(d: int, spec: str, metric: str = L2, **kw):
         return FlatIndex(d, metric=metric)
     m = re.fullmatch(r"HNSW(\d+)?", head)
     if m:
-        if len(parts) > 2 or (len(parts) == 2 and
+        pq = re.fullmatch(r"PQ(\d+)", parts[1]) if len(parts) == 2 else None
+        if len(parts) > 2 or (len(parts) == 2 and pq is None and
                               parts[1] not in ("Flat", "SQ8")):
             raise ValueError(
                 f"unsupported spec {spec!r}: storage codecs are Flat "
-                "(IndexHNSWFlat) and SQ8 (IndexHNSWSQ/QT_8bit); PQ is out "
-                "of scope (SURVEY.md non-goals)")
+                "(IndexHNSWFlat), SQ8 (IndexHNSWSQ/QT_8bit) and PQ<m> "
+                "(IndexHNSWPQ, 8 bits/sub-code)")
         M = int(m.group(1)) if m.group(1) else 32
         if len(parts) == 2 and parts[1] == "SQ8":
             kw.setdefault("dtype", "sq8")
+        elif pq is not None:
+            kw.setdefault("dtype", "pq")
+            kw.setdefault("pq_m", int(pq.group(1)))
         return HnswIndex(d, M, metric, **kw)
     raise ValueError(f"unsupported index spec {spec!r}")

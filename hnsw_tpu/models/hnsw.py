@@ -57,7 +57,7 @@ class HnswIndex:
             from ..graph import create_in_format
             self._graph = empty_graph(config, neighbors0_format=nb_fmt)
             self._vectors = create_in_format(
-                (config.capacity, config.dim),
+                (config.capacity, config.storage_width),
                 jnp.dtype(config.storage_dtype), 0, v_fmt)
             self._sqnorms = jnp.zeros((config.capacity,), jnp.float32)
         self._host: NumpyHnsw | None = None
@@ -69,11 +69,16 @@ class HnswIndex:
         # numpy pair (builder trace-time constants + host encode)
         self._sq = None
         self._sq_np = None
-        if config.is_sq:
-            self.is_trained = False  # faiss SQ requires train() before add()
+        # pq storage (faiss IndexHNSWPQ parity): per-subspace codebooks,
+        # None until train(); device copy (search programs) + numpy copy
+        # (builder trace-time constants + host encode/decode)
+        self._pq = None
+        self._pq_np = None
+        if config.is_sq or config.is_pq:
+            self.is_trained = False  # faiss SQ/PQ require train() before add()
             if build == "host":
-                raise ValueError("sq8 storage requires build='device' (the "
-                                 "NumPy reference builder is f32-only)")
+                raise ValueError("sq8/pq storage requires build='device' "
+                                 "(the NumPy reference builder is f32-only)")
 
     # -- properties ----------------------------------------------------------
     @property
@@ -105,23 +110,31 @@ class HnswIndex:
     def train(self, x: np.ndarray) -> None:
         """faiss parity: a no-op for flat storage (HNSWFlat is train-free);
         for sq8 storage, trains the per-dim ScalarQuantizer [min, max] range
-        on ``x`` (faiss ``ScalarQuantizer::train`` QT_8bit semantics). Must
-        be called before the first ``add()``; retraining after adds would
-        desynchronize stored codes and is rejected."""
-        if not self.config.is_sq:
+        on ``x`` (faiss ``ScalarQuantizer::train`` QT_8bit semantics); for
+        pq storage, k-means the per-subspace codebooks (faiss
+        ``ProductQuantizer::train``, ops/pq.py). Must be called before the
+        first ``add()``; retraining after adds would desynchronize stored
+        codes and is rejected."""
+        if not (self.config.is_sq or self.config.is_pq):
             return
         if self.ntotal:
             raise RuntimeError("train() after add(): stored codes would "
                                "decode under different params; build a new "
                                "index instead")
-        from ..ops.packed import quantization_params
         x = np.asarray(x, np.float32)
         if x.ndim != 2 or x.shape[1] != self.config.dim:
             raise ValueError(f"expected [n, {self.config.dim}], got {x.shape}")
-        off, sc = quantization_params(
-            jnp.asarray(x), jnp.ones((len(x),), jnp.bool_), 8)
-        self._sq = (off, sc)
-        self._sq_np = (np.asarray(off), np.asarray(sc))
+        if self.config.is_pq:
+            from ..ops.pq import train_pq
+            cb = train_pq(x, self.config.pq_m, seed=self.config.seed)
+            self._pq_np = cb
+            self._pq = jnp.asarray(cb)
+        else:
+            from ..ops.packed import quantization_params
+            off, sc = quantization_params(
+                jnp.asarray(x), jnp.ones((len(x),), jnp.bool_), 8)
+            self._sq = (off, sc)
+            self._sq_np = (np.asarray(off), np.asarray(sc))
         self.is_trained = True
 
     def _sq_encode(self, x: np.ndarray) -> np.ndarray:
@@ -132,16 +145,26 @@ class HnswIndex:
         u = np.clip(np.round((x - off) / sc), 0, 255).astype(np.float32)
         return off + sc * u
 
+    def _pq_encode_decode(self, x: np.ndarray) -> np.ndarray:
+        """f32 -> PQ reconstruction x̂ (same rationale as ``_sq_encode``:
+        the builder sees the exact values search-time ADC will measure
+        against; the device write re-encodes to the same codes)."""
+        from ..ops.pq import decode_pq, encode_pq
+        codes = encode_pq(jnp.asarray(x), jnp.asarray(self._pq_np))
+        return np.asarray(decode_pq(codes, jnp.asarray(self._pq_np)))
+
     def add(self, x: np.ndarray) -> None:
         """Append vectors; ids are assigned sequentially (faiss parity)."""
         x = np.ascontiguousarray(np.asarray(x, np.float32))
         if x.ndim != 2 or x.shape[1] != self.config.dim:
             raise ValueError(f"expected [n, {self.config.dim}], got {x.shape}")
         if not self.is_trained:
-            raise RuntimeError("sq8 storage: call train(x) before add() "
-                               "(faiss IndexHNSWSQ parity)")
+            raise RuntimeError("sq8/pq storage: call train(x) before add() "
+                               "(faiss IndexHNSWSQ/IndexHNSWPQ parity)")
         if self.config.is_sq:
             x = self._sq_encode(x)
+        elif self.config.is_pq:
+            x = self._pq_encode_decode(x)
         if self.ntotal + len(x) > self.config.capacity:
             raise ValueError("capacity exceeded; create the index with a "
                              "larger `capacity` (device arrays are "
@@ -182,7 +205,8 @@ class HnswIndex:
         from ..build import DeviceBuilder  # local import: build pulls in more
         if self._builder is None:
             self._builder = DeviceBuilder(self.config,
-                                          sq_params=self._sq_np)
+                                          sq_params=self._sq_np,
+                                          pq_cb=self._pq_np)
         # hand over our array references for the duration of the call: the
         # builder donates them into its programs (and may relayout them
         # first); a second live reference here would keep capacity-sized
@@ -212,6 +236,12 @@ class HnswIndex:
         (beyond the free headroom from ``chunk``-alignment); past it, adds
         fall back to a full re-pack. Tombstoned ids keep working: deletion
         filters results, not routing."""
+        if self.config.is_pq:
+            raise ValueError(
+                "packed serving tables are not supported on pq storage: PQ "
+                "routing already reads only pq_m bytes per candidate (the "
+                "low-transaction mode); use flat/sq8 storage with "
+                "enable_packed, or pq without it")
         from ..ops.packed import pack_neighbors
         n_rows = min(self.config.capacity, max(self.ntotal, 1) + max(reserve, 0))
         self._packed = pack_neighbors(
@@ -338,7 +368,7 @@ class HnswIndex:
             k=k, ef_search=ef, metric=self.config.metric,
             max_level_cap=self.config.max_level_cap, max_hops=max_hops,
             n_expand=self.n_expand, with_stats=with_stats, allowed=allowed,
-            packed=packed, dequant=self._sq)
+            packed=packed, dequant=self._sq, pq=self._pq)
         if with_stats:
             d, i, stats = out
             if device_out:
@@ -368,7 +398,8 @@ class HnswIndex:
         # every search distance sees)
         _, gt = brute_force_topk(x, self._vectors, k=k,
                                  metric=self.config.metric,
-                                 n_valid=self.ntotal, dequant=self._sq)
+                                 n_valid=self.ntotal, dequant=self._sq,
+                                 pq=self._pq)
         gt = np.asarray(gt)
         chosen = ef_grid[-1]
         for ef in ef_grid:
@@ -451,6 +482,10 @@ class HnswIndex:
         return self.reconstruct_n(i, 1)[0]
 
     def reconstruct_n(self, i0: int, n: int) -> np.ndarray:
+        if self.config.is_pq:  # decode codes -> x̂ (faiss PQ reconstruct)
+            from ..ops.pq import decode_pq
+            return np.asarray(decode_pq(self._vectors[i0:i0 + n],
+                                        jnp.asarray(self._pq_np)), np.float32)
         v = np.asarray(self._vectors[i0:i0 + n], np.float32)
         if self.config.is_sq:  # decode codes -> x̂ (faiss SQ reconstruct)
             off, sc = self._sq_np
@@ -500,6 +535,8 @@ class HnswIndex:
             xarr["alive"] = np.asarray(self._alive)
         if self._sq_np is not None:
             xarr["sq_offset"], xarr["sq_scale"] = self._sq_np
+        if self._pq_np is not None:
+            xarr["pq_codebooks"] = self._pq_np
         save_graph(path, self._graph, self._vectors, self.config, extra,
                    extra_arrays=xarr)
 
@@ -525,12 +562,21 @@ class HnswIndex:
                           np.asarray(xarr["sq_scale"], np.float32))
             idx._sq = (jnp.asarray(idx._sq_np[0]), jnp.asarray(idx._sq_np[1]))
             idx.is_trained = True
-        idx._sqnorms = compute_sqnorms(idx._vectors, dequant=idx._sq)
+        if "pq_codebooks" in xarr:
+            idx._pq_np = np.asarray(xarr["pq_codebooks"], np.float32)
+            idx._pq = jnp.asarray(idx._pq_np)
+            idx.is_trained = True
+        if cfg.is_pq:
+            from ..ops.pq import pq_sqnorms
+            idx._sqnorms = pq_sqnorms(idx._vectors, idx._pq)
+        else:
+            idx._sqnorms = compute_sqnorms(idx._vectors, dequant=idx._sq)
         if "alive" in xarr:
             idx._alive = jnp.asarray(xarr["alive"])
         if "builder_rng_state" in extra:
             from ..build import DeviceBuilder
-            idx._builder = DeviceBuilder(cfg, sq_params=idx._sq_np)
+            idx._builder = DeviceBuilder(cfg, sq_params=idx._sq_np,
+                                         pq_cb=idx._pq_np)
             idx._builder.rng.bit_generator.state = \
                 extra["builder_rng_state"]
         return idx

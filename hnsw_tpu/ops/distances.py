@@ -69,6 +69,7 @@ def brute_force_topk(
     base_sqnorms: jax.Array | None = None,
     n_valid: jax.Array | int | None = None,
     dequant=None,
+    pq=None,
 ):
     """Exact k-NN: returns (dists [Q, k], ids [Q, k]) sorted ascending.
 
@@ -83,13 +84,31 @@ def brute_force_topk(
     ``dequant``: (offset [d], scale [d]) when ``base`` holds sq8 codes —
     tiles are dequantized in-register (never materializing an f32 copy of
     the table), making this the exact oracle over x̂ for sq8 indexes.
+
+    ``pq``: codebooks [m_sub, ksub, dsub] when ``base`` holds PQ codes —
+    tiles are decoded per scan step (same no-f32-copy property), making
+    this the exact ADC oracle over x̂ for pq indexes.
     """
-    q, d = queries.shape
+    q = queries.shape[0]
     n = base.shape[0]
     if n_valid is None:
         n_valid = n
     queries = queries.astype(jnp.float32)
-    if dequant is not None and base_sqnorms is None:
+    d = base.shape[1]  # tile width in STORED columns (m_sub for pq codes)
+
+    def read_tile(t):  # stored rows -> f32 vectors (x̂ for codecs)
+        if pq is not None:
+            from .pq import decode_pq
+            return decode_pq(t, pq)
+        t = t.astype(jnp.float32)
+        if dequant is not None:
+            t = dequant[0] + dequant[1] * t
+        return t
+
+    if pq is not None and base_sqnorms is None:
+        from .pq import pq_sqnorms
+        base_sqnorms = pq_sqnorms(base, pq)
+    elif dequant is not None and base_sqnorms is None:
         base_sqnorms = jnp.sum(
             (dequant[0] + dequant[1] * base.astype(jnp.float32)) ** 2,
             axis=-1)
@@ -108,13 +127,12 @@ def brute_force_topk(
         pads = (-q) % tile_q
         qp = jnp.pad(queries, ((0, pads), (0, 0)))
         fn = lambda qt: brute_force_topk(qt, base, k, metric, tile_n, 0,
-                                         base_sqnorms, n_valid, dequant)
-        dist, idx = jax.lax.map(fn, qp.reshape(-1, tile_q, d))
+                                         base_sqnorms, n_valid, dequant, pq)
+        dist, idx = jax.lax.map(fn, qp.reshape(-1, tile_q, queries.shape[1]))
         return dist.reshape(-1, k)[:q], idx.reshape(-1, k)[:q]
 
     if n <= tile_n:
-        bset = base if dequant is None else \
-            dequant[0] + dequant[1] * base.astype(jnp.float32)
+        bset = base if (dequant is None and pq is None) else read_tile(base)
         dm = pairwise_distances(queries, bset, metric, base_sqnorms)
         col = jax.lax.broadcasted_iota(jnp.int32, dm.shape, 1)
         dm = jnp.where(col < n_valid, dm, jnp.inf)
@@ -138,8 +156,8 @@ def brute_force_topk(
     def step(carry, inp):
         t_idx, tile, tile_sq = inp
         best_d, best_i = carry
-        if dequant is not None:  # sq8 codes -> x̂, in-register per tile
-            tile = dequant[0] + dequant[1] * tile.astype(jnp.float32)
+        if dequant is not None or pq is not None:  # codes -> x̂ per tile
+            tile = read_tile(tile)
         dm = pairwise_distances(queries, tile, metric, tile_sq)
         # mask padded rows of the final tile
         col = jax.lax.broadcasted_iota(jnp.int32, dm.shape, 1)

@@ -44,8 +44,9 @@ def apply_backlinks(
     dst_ids: jax.Array,   # int32 [P] destination node id (for distances)
     src_ids: jax.Array,   # int32 [P] source node id to back-link
     valid: jax.Array,     # bool  [P]
-    vectors: jax.Array,   # [capacity, d] vector storage
+    vectors: jax.Array,   # [capacity, d] vector storage (codes for sq8/pq)
     dequant=None,         # optional (offset [d], scale [d]) for sq8 storage
+    pq_cb=None,           # optional codebooks [m_sub, ksub, dsub] for pq
     *,
     r_window: int = 16,
     metric: str = L2,
@@ -107,7 +108,8 @@ def apply_backlinks(
     # The candidate-vector gather is [P, W+R, d] — at P = B*m0 and d in the
     # hundreds that transient alone can exceed HBM (e.g. 20 GB for GIST's
     # d=960), so the prune streams over row chunks via lax.map.
-    d_model = vectors.shape[1]
+    d_model = vectors.shape[1] if pq_cb is None else \
+        pq_cb.shape[0] * pq_cb.shape[2]  # decoded width for PQ codes
     row_bytes = (W + R) * d_model * 4
     chunk = max(256, min(P, (1 << 29) // max(row_bytes, 1)))
     chunk = 1 << (chunk.bit_length() - 1)  # power of two
@@ -124,11 +126,18 @@ def apply_backlinks(
 
     def prune_chunk(args):
         dst_c, ids_c = args
-        dvec = vectors[dst_c].astype(jnp.float32)               # [C, d]
-        cvec = vectors[jnp.maximum(ids_c, 0)].astype(jnp.float32)
-        if dequant is not None:  # sq8 storage: distances against x̂
-            dvec = dequant[0] + dequant[1] * dvec
-            cvec = dequant[0] + dequant[1] * cvec
+        dvec = vectors[dst_c]                                   # [C, d]
+        cvec = vectors[jnp.maximum(ids_c, 0)]
+        if pq_cb is not None:    # pq storage: decode to x̂
+            from .pq import decode_pq
+            dvec = decode_pq(dvec, pq_cb)
+            cvec = decode_pq(cvec, pq_cb)
+        else:
+            dvec = dvec.astype(jnp.float32)
+            cvec = cvec.astype(jnp.float32)
+            if dequant is not None:  # sq8 storage: distances against x̂
+                dvec = dequant[0] + dequant[1] * dvec
+                cvec = dequant[0] + dequant[1] * cvec
         dots = jnp.einsum("pd,pcd->pc", dvec, cvec,
                           preferred_element_type=jnp.float32,
                       precision=jax.lax.Precision.HIGHEST)

@@ -36,7 +36,8 @@ def _use_pallas_hop() -> bool:
 
 
 def _make_distance_fn(vectors: jax.Array, sqnorms: jax.Array, queries: jax.Array,
-                      metric: str, pallas_hop: bool = False, dequant=None):
+                      metric: str, pallas_hop: bool = False, dequant=None,
+                      pq=None):
     """Returns distance_to(ids [Q, K], mask) -> [Q, K] surrogate distances.
 
     The gather + dot is the bandwidth-critical op (SURVEY.md §7 hard-part 3):
@@ -52,8 +53,25 @@ def _make_distance_fn(vectors: jax.Array, sqnorms: jax.Array, queries: jax.Array
     contraction by XLA) so every distance is against x̂ — faiss
     IndexHNSWSQ DistanceComputer semantics, at 1/4 the gather bandwidth
     of f32 storage.
+
+    ``pq``: codebooks f32 [m_sub, ksub, dsub] when ``vectors`` holds PQ
+    codes (cfg.dtype == "pq"): distances are ADC via a per-query LUT
+    built ONCE per batch (ops/pq.py) — the per-candidate fetch is then
+    m_sub BYTES + m_sub in-register lookups, the lowest-bandwidth routing
+    mode here; faiss IndexHNSWPQ DistanceComputer semantics.
     """
     qf = queries.astype(jnp.float32)
+
+    if pq is not None:
+        from .ops.pq import adc_distance, pq_lut
+        lut = pq_lut(qf, pq, metric)                       # [Q, m, ksub]
+
+        def distance_to(ids: jax.Array, mask: jax.Array) -> jax.Array:
+            ids_safe = jnp.where(mask, ids, 0)
+            codes = vectors[ids_safe]                      # [Q, K, m_sub] u8
+            return adc_distance(lut, codes)
+
+        return distance_to
 
     del sqnorms  # ||x||^2 is recomputed from the gathered rows: a VPU
     # reduction over data already in registers is free next to the cost of a
@@ -185,6 +203,7 @@ def hnsw_search(
     allowed: jax.Array | None = None,
     packed: PackedNeighbors | None = None,
     dequant=None,
+    pq=None,
 ):
     """Batched k-NN query. Returns (dists [Q, k], ids [Q, k]) sorted
     ascending; ids are -1 (dist inf) past the reachable set. With
@@ -227,7 +246,7 @@ def hnsw_search(
         k=k, ef_buf=ef_bucket(ef), metric=metric,
         max_level_cap=max_level_cap, n_expand=n_expand,
         with_stats=with_stats, visited_mode=visited_mode, allowed=allowed,
-        packed=packed, dequant=dequant, pallas_hop=_use_pallas_hop())
+        packed=packed, dequant=dequant, pq=pq, pallas_hop=_use_pallas_hop())
 
 
 _SEARCH_EXECS: dict = {}
@@ -236,7 +255,7 @@ _SEARCH_STATICS = ("k", "ef_buf", "metric", "max_level_cap",
 
 
 def _hnsw_search(graph, vectors, sqnorms, queries, ef_live, hop_limit, *,
-                 allowed=None, packed=None, dequant=None, **statics):
+                 allowed=None, packed=None, dequant=None, pq=None, **statics):
     """Dispatch to a jitted search executable. When a packed table rides
     along on TPU, the jit is built with in_shardings pinning the table args
     to the layouts the pack producer actually chose: left unconstrained,
@@ -258,18 +277,18 @@ def _hnsw_search(graph, vectors, sqnorms, queries, ef_live, hop_limit, *,
                 _hnsw_search_impl, static_argnames=_SEARCH_STATICS)
         else:
             # positional args: graph, vectors, sqnorms, queries, ef_live,
-            # hop_limit, allowed, packed, dequant — only packed's layouts
-            # are pinned
+            # hop_limit, allowed, packed, dequant, pq — only packed's
+            # layouts are pinned
             _SEARCH_EXECS[key] = jax.jit(
                 functools.partial(_hnsw_search_impl, **statics),
                 in_shardings=(None, None, None, None, None, None,
-                              None, packed.formats(), None))
+                              None, packed.formats(), None, None))
     if key is None:
         return _SEARCH_EXECS[key](graph, vectors, sqnorms, queries, ef_live,
-                                  hop_limit, allowed, packed, dequant,
+                                  hop_limit, allowed, packed, dequant, pq,
                                   **statics)
     return _SEARCH_EXECS[key](graph, vectors, sqnorms, queries, ef_live,
-                              hop_limit, allowed, packed, dequant)
+                              hop_limit, allowed, packed, dequant, pq)
 
 
 def _hnsw_search_impl(
@@ -282,6 +301,7 @@ def _hnsw_search_impl(
     allowed: jax.Array | None = None,
     packed: PackedNeighbors | None = None,
     dequant=None,
+    pq=None,
     *,
     k: int,
     ef_buf: int,
@@ -303,7 +323,8 @@ def _hnsw_search_impl(
     queries = queries.astype(jnp.float32)
 
     distance_to = _make_distance_fn(vectors, sqnorms, queries, metric,
-                                    pallas_hop=pallas_hop, dequant=dequant)
+                                    pallas_hop=pallas_hop, dequant=dequant,
+                                    pq=pq)
 
     # --- greedy upper-level descent from the global entry point
     ep = jnp.broadcast_to(graph.entry_point, (qn,))
