@@ -30,6 +30,12 @@ Env knobs:
   BENCH_CPU_N   CPU-baseline build size (default = BENCH_N)
   BENCH_DATASET named eval config (sift10k/sift1m/gist1m/glove100) overrides
                 N/D and uses real files under $HNSW_TPU_DATA when present
+  BENCH_DTYPE   vector storage codec (float32 default | sq8) — sq8 is the
+                Deep10M-scale configuration (vectors at 1 byte/dim; recall
+                is still measured against the TRUE f32 ground truth)
+  BENCH_PACKED  auto (default) | 0 | 8 | 4 | pq — packed serving rows;
+                "pq" packs PQ ROUTING codes (BENCH_PQ_M sub-codes x
+                BENCH_PQ_BITS bits), the low-memory packed mode
 """
 
 from __future__ import annotations
@@ -164,9 +170,12 @@ def main():
 
     # ---- build on device
     cap = 1 << (n - 1).bit_length()
+    dtype = os.environ.get("BENCH_DTYPE", "float32")
     idx = hnsw_tpu.HnswIndex(d, m, wl.metric, capacity=max(cap, 1024),
-                             ef_construction=efc)
+                             ef_construction=efc, dtype=dtype)
     t0 = time.time()
+    if not idx.is_trained:  # sq8: train the quantizer on a sample
+        idx.train(np.asarray(base[:262144], np.float32))
     idx.add(base)
     build_s = time.time() - t0
     _log(f"[bench] device build: {build_s:.1f}s ({n/build_s:.0f} inserts/s)")
@@ -209,10 +218,27 @@ def main():
     # ---- packed serving mode (ops/packed.py): route on neighbor-code rows
     # (one HBM transaction per expanded node) + exact rerank. Measured at
     # 1M x 128: 1.77x QPS at identical recall. Auto-enabled when the code
-    # table leaves HBM headroom; BENCH_PACKED=0 disables, =4 forces 4-bit.
+    # table leaves HBM headroom; BENCH_PACKED=0 disables, =4 forces 4-bit,
+    # =pq packs PQ ROUTING codes instead (m0 * BENCH_PQ_M bytes/row,
+    # 8-16x smaller — the Deep10M-scale configuration).
     packed_env = os.environ.get("BENCH_PACKED", "auto")
     packed_bits = 0
-    if packed_env != "0":
+    packed_mode = None
+    if packed_env == "pq":
+        pq_m = int(os.environ.get("BENCH_PQ_M", max(d // 8, 1)))
+        pq_bits = int(os.environ.get("BENCH_PQ_BITS", 8))
+        t0 = time.time()
+        try:
+            nb = idx.enable_packed(mode="pq", pq_m=pq_m, pq_bits=pq_bits,
+                                   train_x=np.asarray(
+                                       base[:65536], np.float32))
+            packed_bits = pq_bits
+            packed_mode = f"pq{pq_m}x{pq_bits}"
+            _log(f"[bench] packed-pq tables: {nb/1e9:.2f} GB "
+                 f"(pq_m={pq_m}, {pq_bits}-bit) in {time.time()-t0:.1f}s")
+        except Exception as e:  # noqa: BLE001 — fall back to unpacked
+            _log(f"[bench] packed-pq mode unavailable: {e!r}")
+    elif packed_env != "0":
         bits = int(packed_env) if packed_env in ("4", "8") else 8
         est = idx.ntotal * idx.config.m0 * (d * bits // 8 + 4)
         budget = min(10 * 10**9,
@@ -222,6 +248,7 @@ def main():
             try:
                 nb = idx.enable_packed(bits=bits)
                 packed_bits = bits
+                packed_mode = f"sq{bits}"
                 _log(f"[bench] packed tables: {nb/1e9:.2f} GB "
                      f"({bits}-bit) in {time.time()-t0:.1f}s")
             except Exception as e:  # noqa: BLE001 — fall back to unpacked
@@ -249,6 +276,7 @@ def main():
                  f"vs unpacked {r_u:.4f} at ef=64 — disabling packed mode")
             idx.disable_packed()
             packed_bits = 0
+            packed_mode = None
         else:
             canary["verdict"] = "ok"
             _log(f"[bench] packed canary ok: packed {r_p:.4f} / "
@@ -322,6 +350,7 @@ def main():
              "and RESTARTING the sweep unpacked")
         idx.disable_packed()
         packed_bits = 0
+        packed_mode = None
         results, chosen = run_sweep()
 
     # Fail-honest operating point (VERDICT.md r2 Weak #2): when no sweep
@@ -370,12 +399,13 @@ def main():
         "environment": env, "downsized": downsized,
         "ndis_per_query": round(stat_summary["ndis_per_query"], 1),
         "hops_per_batch": round(stat_summary["hops_per_batch"], 1),
-        "packed_bits": packed_bits, "packed_canary": canary,
+        "packed_bits": packed_bits, "packed_mode": packed_mode,
+        "packed_canary": canary,
         "invariant_check": check_summary,
         "backlink_window_drops": bl_dropped,
         "sweep": results,
         "baseline_qps": base_qps, "baseline_source": base_src,
-        "n": n, "d": d, "batch": len(queries),
+        "n": n, "d": d, "batch": len(queries), "dtype": dtype,
     }
     _log("[bench] detail: " + json.dumps(extra))
     print(json.dumps(out), flush=True)

@@ -56,6 +56,8 @@ class HnswConfig:
     upper_capacity: int = -1  # -1 -> auto
     dtype: str = "float32"  # vector storage: float32 | bfloat16 | sq8 | pq
     pq_m: int = 0  # sub-quantizers for dtype="pq" (must divide dim)
+    pq_bits: int = 8  # bits per sub-code: 8 (faiss PQ default, ksub=256)
+    #                   or 4 (faiss PQx4 fast-scan parity, ksub=16)
     seed: int = 42
 
     def __post_init__(self):
@@ -72,6 +74,8 @@ class HnswConfig:
                     f"(got pq_m={self.pq_m}, dim={self.dim})")
         elif self.pq_m:
             raise ValueError("pq_m is only meaningful with dtype='pq'")
+        if self.pq_bits not in (4, 8):
+            raise ValueError(f"pq_bits must be 4 or 8, got {self.pq_bits}")
         if self.capacity >= 1 << 24:
             # ids ride through one-hot f32 matmuls in the prune/compaction
             # kernels (ops/prune.py) — exact only below 2^24. Larger corpora
@@ -105,6 +109,11 @@ class HnswConfig:
         the ADC value — exact against the reconstruction x̂. Requires
         ``train()``."""
         return self.dtype == "pq"
+
+    @property
+    def pq_ksub(self) -> int:
+        """Centroids per PQ subspace (256 for 8-bit, 16 for 4-bit)."""
+        return 1 << self.pq_bits
 
     @property
     def storage_dtype(self) -> str:

@@ -9,6 +9,8 @@ Supported specs (the subset meaningful for this engine):
                           with ScalarQuantizer.QT_8bit): train() required
   * ``"HNSW32,PQ16"`` -> product-quantized storage, 16 sub-quantizers x
                           8 bits (faiss IndexHNSWPQ): train() required
+  * ``"HNSW32,PQ32x4"`` -> 4-bit PQ, 32 sub-quantizers x 16 centroids
+                          (faiss IndexHNSWPQ with PQ fast-scan geometry)
   * ``"Flat"``        -> FlatIndex (exact search)
   * ``"IDMap,..."``   -> IdMapIndex wrapping any of the above (faiss
                           IndexIDMap: user-chosen int64 ids, add_with_ids)
@@ -40,18 +42,21 @@ def index_factory(d: int, spec: str, metric: str = L2, **kw):
         return FlatIndex(d, metric=metric)
     m = re.fullmatch(r"HNSW(\d+)?", head)
     if m:
-        pq = re.fullmatch(r"PQ(\d+)", parts[1]) if len(parts) == 2 else None
+        pq = re.fullmatch(r"PQ(\d+)(x4)?", parts[1]) \
+            if len(parts) == 2 else None
         if len(parts) > 2 or (len(parts) == 2 and pq is None and
                               parts[1] not in ("Flat", "SQ8")):
             raise ValueError(
                 f"unsupported spec {spec!r}: storage codecs are Flat "
-                "(IndexHNSWFlat), SQ8 (IndexHNSWSQ/QT_8bit) and PQ<m> "
-                "(IndexHNSWPQ, 8 bits/sub-code)")
+                "(IndexHNSWFlat), SQ8 (IndexHNSWSQ/QT_8bit), PQ<m> "
+                "(IndexHNSWPQ, 8 bits/sub-code) and PQ<m>x4 (4-bit)")
         M = int(m.group(1)) if m.group(1) else 32
         if len(parts) == 2 and parts[1] == "SQ8":
             kw.setdefault("dtype", "sq8")
         elif pq is not None:
             kw.setdefault("dtype", "pq")
             kw.setdefault("pq_m", int(pq.group(1)))
+            if pq.group(2):
+                kw.setdefault("pq_bits", 4)
         return HnswIndex(d, M, metric, **kw)
     raise ValueError(f"unsupported index spec {spec!r}")

@@ -64,6 +64,9 @@ class HnswIndex:
         self._builder = None  # lazily constructed device builder
         self._alive = None    # tombstone mask [capacity]; None == no removals
         self._packed = None   # packed neighbor-code tables (enable_packed)
+        self._route = None    # (cb, codes): PQ ROUTING codec for packed-pq
+        #                       rows over non-pq storage (enable_packed
+        #                       mode="pq"); independent of the storage codec
         # sq8 storage (faiss IndexHNSWSQ parity): per-dim affine params,
         # None until train(); kept as device pair (for search programs) and
         # numpy pair (builder trace-time constants + host encode)
@@ -126,7 +129,8 @@ class HnswIndex:
             raise ValueError(f"expected [n, {self.config.dim}], got {x.shape}")
         if self.config.is_pq:
             from ..ops.pq import train_pq
-            cb = train_pq(x, self.config.pq_m, seed=self.config.seed)
+            cb = train_pq(x, self.config.pq_m, ksub=self.config.pq_ksub,
+                          seed=self.config.seed)
             self._pq_np = cb
             self._pq = jnp.asarray(cb)
         else:
@@ -220,14 +224,33 @@ class HnswIndex:
             self._graph, self._vectors, self._sqnorms = g, v, s
 
     # -- packed serving mode (ops/packed.py) ----------------------------------
-    def enable_packed(self, bits: int = 8, *, max_bytes: int | None = None,
+    def enable_packed(self, bits: int = 8, *, mode: str | None = None,
+                      pq_m: int | None = None, pq_bits: int = 8,
+                      train_x: np.ndarray | None = None,
+                      max_bytes: int | None = None,
                       reserve: int = 0, chunk: int = 1 << 16) -> int:
         """Build packed neighbor-code tables: the level-0 beam then routes on
         quantized distances read from ONE fat row per expanded node (~3 HBM
-        transactions per hop instead of ~1 + M_max0), with an exact f32
-        rerank of the final ef buffer. Trades memory for transactions:
-        costs ntotal * m0 * d * bits/8 bytes of HBM (``bits``: 8 or 4).
-        Returns the packed table size in bytes.
+        transactions per hop instead of ~1 + M_max0), with an exact rerank
+        of the final ef buffer. Returns the packed table size in bytes.
+
+        Two row codecs (``mode``):
+          * ``"sq"`` (default for flat/sq8/bf16 storage): each neighbor
+            contributes d scalar-quantized dims — costs
+            ntotal * m0 * d * bits/8 bytes (``bits``: 8 or 4).
+          * ``"pq"`` (default — and the only codec — for pq storage): each
+            neighbor contributes ``pq_m`` PQ sub-codes — costs
+            ntotal * m0 * pq_m * pq_bits/8 bytes, 8-16x smaller than sq
+            rows; the configuration that fits 10M-scale packed serving on
+            one chip. For pq storage the stored codes/codebooks are reused
+            directly; for flat/sq8 storage ROUTING-only codebooks are
+            trained (``pq_m`` required; ``pq_bits`` 8 or 4; pass
+            ``train_x`` — host training vectors — to avoid pulling a
+            sample through the slow device->host path).
+
+        Routing is approximate either way; the final ef buffer is re-ranked
+        with storage-grade distances (exact f32 / sq8 x̂ / exact ADC), so
+        returned (D, I) keep full precision.
 
         Subsequent device-mode ``add()`` calls MAINTAIN the tables
         incrementally (only rows whose adjacency changed are re-packed, see
@@ -236,21 +259,72 @@ class HnswIndex:
         (beyond the free headroom from ``chunk``-alignment); past it, adds
         fall back to a full re-pack. Tombstoned ids keep working: deletion
         filters results, not routing."""
-        if self.config.is_pq:
-            raise ValueError(
-                "packed serving tables are not supported on pq storage: PQ "
-                "routing already reads only pq_m bytes per candidate (the "
-                "low-transaction mode); use flat/sq8 storage with "
-                "enable_packed, or pq without it")
-        from ..ops.packed import pack_neighbors
-        n_rows = min(self.config.capacity, max(self.ntotal, 1) + max(reserve, 0))
-        self._packed = pack_neighbors(
-            self._graph.neighbors0, self._vectors, self._graph.levels,
-            bits=bits, max_bytes=max_bytes, n_rows=n_rows, chunk=chunk,
-            dequant=self._sq)
+        if mode is None:
+            mode = "pq" if self.config.is_pq else "sq"
+        if mode not in ("sq", "pq"):
+            raise ValueError(f"mode must be 'sq' or 'pq', got {mode!r}")
+        n_rows = min(self.config.capacity,
+                     max(self.ntotal, 1) + max(reserve, 0))
+        if mode == "sq":
+            if self.config.is_pq:
+                raise ValueError(
+                    "sq packed rows need scalar storage; pq storage packs "
+                    "its own codes — use enable_packed(mode='pq')")
+            from ..ops.packed import pack_neighbors
+            self._packed = pack_neighbors(
+                self._graph.neighbors0, self._vectors, self._graph.levels,
+                bits=bits, max_bytes=max_bytes, n_rows=n_rows, chunk=chunk,
+                dequant=self._sq)
+        else:
+            from ..ops.packed import pack_pq_neighbors
+            cb, codes, pq_bits = self._route_codebooks(
+                pq_m, pq_bits, train_x)
+            self._packed = pack_pq_neighbors(
+                self._graph.neighbors0, codes, cb, pq_bits=pq_bits,
+                max_bytes=max_bytes, n_rows=n_rows, chunk=chunk)
         # remembered for incremental-era full rebuilds (_refresh_packed)
-        self._packed_opts = (bits, max_bytes, reserve, chunk)
+        self._packed_opts = dict(bits=bits, mode=mode, pq_m=pq_m,
+                                 pq_bits=pq_bits, max_bytes=max_bytes,
+                                 reserve=reserve, chunk=chunk)
         return self._packed.nbytes
+
+    def _route_codebooks(self, pq_m, pq_bits, train_x):
+        """(cb, codes [capacity, pq_m], pq_bits) for PQ-coded packed rows.
+
+        pq storage reuses its stored codebooks/codes; other storage trains
+        ROUTING-only codebooks once (kept across re-packs and incremental
+        maintenance in ``self._route`` — retraining after adds would
+        desynchronize the packed rows the way retraining storage codecs
+        would the stored codes)."""
+        if self.config.is_pq:
+            return self._pq, self._vectors, self.config.pq_bits
+        if self._route is not None:
+            cb, codes = self._route
+            if pq_m not in (None, cb.shape[0]):
+                raise ValueError(
+                    f"routing codebooks already trained with pq_m="
+                    f"{cb.shape[0]}; call disable_packed(reset_routing="
+                    f"True) to retrain with pq_m={pq_m}")
+            return cb, codes, (4 if cb.shape[1] <= 16 else 8)
+        from ..ops.pq import encode_pq, train_pq
+        if pq_m is None or pq_m <= 0 or self.config.dim % pq_m:
+            raise ValueError(
+                f"mode='pq' on {self.config.dtype} storage needs pq_m > 0 "
+                f"dividing dim={self.config.dim} (got {pq_m})")
+        if train_x is not None:
+            xs = np.asarray(train_x, np.float32)
+        else:
+            import logging
+            logging.getLogger("hnsw_tpu").warning(
+                "enable_packed(mode='pq'): no train_x given — pulling a "
+                "training sample device->host (slow on tunneled devices); "
+                "pass the original vectors to skip this")
+            xs = self.reconstruct_n(0, min(self.ntotal, 65536))
+        cb = jnp.asarray(train_pq(xs, pq_m, ksub=1 << pq_bits,
+                                  seed=self.config.seed))
+        codes = encode_pq(self._vectors, cb, dequant=self._sq)
+        self._route = (cb, codes)
+        return cb, codes, pq_bits
 
     def _refresh_packed(self, packed, fp_old, old_ntotal: int) -> None:
         """Post-add() packed-table maintenance: re-pack exactly the rows the
@@ -258,15 +332,30 @@ class HnswIndex:
         full re-pack when that's cheaper or the table ran out of padded
         rows. Leaves the index unpacked only if re-packing itself fails."""
         import logging
-        from ..ops.packed import row_fingerprints, update_packed_rows
+        from ..ops.packed import (PackedNeighbors, PackedPQ,
+                                  row_fingerprints, update_packed_pq_rows,
+                                  update_packed_rows)
         log = logging.getLogger("hnsw_tpu")
-        bits, max_bytes, reserve, chunk = getattr(
-            self, "_packed_opts",
-            (packed.bits_for(self.config.dim, self.config.m0),
-             None, 0, 1 << 16))
+        is_pq_rows = isinstance(packed, PackedPQ)
+        opts = getattr(self, "_packed_opts", None)
+        if opts is None:
+            opts = dict(bits=(8 if is_pq_rows else
+                              packed.bits_for(self.config.dim,
+                                              self.config.m0)),
+                        mode=("pq" if is_pq_rows else "sq"), pq_m=None,
+                        pq_bits=8, max_bytes=None, reserve=0, chunk=1 << 16)
         n = self.ntotal
         try:
-            pad_cap = packed.nbr_sq.shape[0]
+            # routing codes of the NEW vectors (pq rows over non-pq
+            # storage): encode before any row assembly reads them
+            if is_pq_rows and not self.config.is_pq and n > old_ntotal:
+                from ..ops.pq import encode_pq
+                cb_r, codes_r = self._route
+                new = encode_pq(self._vectors[old_ntotal:n], cb_r,
+                                dequant=self._sq)
+                self._route = (cb_r, codes_r.at[old_ntotal:n].set(new))
+            pad_cap = (packed.nbr_codes if is_pq_rows
+                       else packed.nbr_sq).shape[0]
             rebuild = n > pad_cap
             ids = None
             if not rebuild:
@@ -280,26 +369,38 @@ class HnswIndex:
                 rebuild = len(ids) > max(n // 4, 50_000)
             if rebuild:
                 packed = None  # free the old table BEFORE building anew
-                self.enable_packed(bits=bits, max_bytes=max_bytes,
-                                   reserve=reserve, chunk=chunk)
+                self.enable_packed(**opts)
                 log.info("packed tables fully re-packed after add() "
                          "(incremental not worthwhile)")
                 return
-            codes, sq = packed.nbr_codes, packed.nbr_sq
-            offset, scale = packed.offset, packed.scale
-            packed = None  # donation below deletes codes/sq buffers
+            if is_pq_rows:
+                codes, cb = packed.nbr_codes, packed.cb
+                route_codes = (self._vectors if self.config.is_pq
+                               else self._route[1])
+                pq_bits = packed.pq_bits_for(self.config.m0)
+            else:
+                codes, sq = packed.nbr_codes, packed.nbr_sq
+                offset, scale = packed.offset, packed.scale
+            packed = None  # donation below deletes the table buffers
             CH = 4096
             for i in range(0, len(ids), CH):
-                chunk = np.full((CH,), -1, np.int32)
+                batch = np.full((CH,), -1, np.int32)
                 part = ids[i:i + CH]
-                chunk[:len(part)] = part
-                codes, sq = update_packed_rows(
-                    codes, sq, self._graph.neighbors0, self._vectors,
-                    offset, scale, jnp.asarray(chunk), bits=bits,
-                    dequant=self._sq)
-            from ..ops.packed import PackedNeighbors
-            self._packed = PackedNeighbors(codes, sq, scale=scale,
-                                           offset=offset)
+                batch[:len(part)] = part
+                if is_pq_rows:
+                    codes = update_packed_pq_rows(
+                        codes, self._graph.neighbors0, route_codes,
+                        jnp.asarray(batch), pq_bits=pq_bits)
+                else:
+                    codes, sq = update_packed_rows(
+                        codes, sq, self._graph.neighbors0, self._vectors,
+                        offset, scale, jnp.asarray(batch),
+                        bits=opts["bits"], dequant=self._sq)
+            if is_pq_rows:
+                self._packed = PackedPQ(codes, cb)
+            else:
+                self._packed = PackedNeighbors(codes, sq, scale=scale,
+                                               offset=offset)
             log.info("packed tables incrementally updated after add(): "
                      "%d rows re-packed", len(ids))
         except Exception as e:  # noqa: BLE001 — serving must not lose adds
@@ -307,8 +408,13 @@ class HnswIndex:
                         "disabled — call enable_packed() to restore", e)
             self._packed = None
 
-    def disable_packed(self) -> None:
+    def disable_packed(self, *, reset_routing: bool = False) -> None:
+        """Drop the packed tables (and with ``reset_routing`` also the
+        trained routing codebooks, so the next enable_packed(mode='pq')
+        retrains with possibly different pq_m/pq_bits)."""
         self._packed = None
+        if reset_routing:
+            self._route = None
 
     @property
     def packed_enabled(self) -> bool:

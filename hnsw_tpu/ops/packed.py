@@ -105,6 +105,62 @@ class PackedNeighbors(NamedTuple):
         return sum(int(a.size) * a.dtype.itemsize for a in self)
 
 
+class PackedPQ(NamedTuple):
+    """Packed rows of PQ ROUTING codes — the low-memory packed variant.
+
+    Same fat-row idea as ``PackedNeighbors`` (one row fetch per expanded
+    node), but each neighbor contributes its ``pq_m`` PQ codes (1 byte per
+    8-bit code, a nibble per 4-bit code) instead of ``d`` scalar-quantized
+    dims: the table costs capacity * m0 * bpn bytes — 8-16x smaller than
+    sq8 rows (1M x 128d: 1 GB at pq_m=16 vs 8.4 GB), the configuration
+    that fits Deep10M-scale packed serving on one chip. Routing distances
+    are ADC against the ROUTING reconstruction x̂ (ops/pq.py
+    adc_decode_distance, bf16 one-hot decode); the extraction rerank
+    restores storage-grade distances. ADC distances carry the full
+    ``||x̂||² - 2 q·x̂`` surrogate (the norm rides in the codebooks), so
+    exactly-scored entry points need NO scale shift (cf. PackedNeighbors'
+    q·offset shift).
+
+    The routing codebooks ``cb`` ride in the tuple: they are independent
+    of the storage codec (flat/sq8 storage trains routing-only codebooks;
+    pq storage reuses its own), and the expand closure needs them.
+
+    Layout discipline is inherited from PackedNeighbors: consumers compile
+    with in_shardings pinned to ``formats()`` so the multi-GB table is
+    never dispatch-relayouted."""
+
+    nbr_codes: jax.Array  # uint8 [rows, row_w], row_w = m0 * bpn
+    cb: jax.Array         # f32 [pq_m, ksub, dsub] routing codebooks
+
+    def bpn(self, m0: int) -> int:
+        """Bytes per neighbor in a row."""
+        return self.nbr_codes.shape[1] // m0
+
+    def pq_bits_for(self, m0: int) -> int:
+        pm = self.cb.shape[0]
+        b = self.bpn(m0)
+        if b == pm:
+            return 8
+        if b == (pm + 1) // 2:
+            return 4
+        raise ValueError(f"packed-pq row width {self.nbr_codes.shape[1]} "
+                         f"matches neither 8-bit (m0*{pm}) nor 4-bit")
+
+    def formats(self) -> "PackedPQ":
+        return PackedPQ(self.nbr_codes.format, None)
+
+    def format_key(self):
+        return (str(self.nbr_codes.format),)
+
+    @property
+    def on_tpu(self) -> bool:
+        return next(iter(self.nbr_codes.devices())).platform == "tpu"
+
+    @property
+    def nbytes(self) -> int:
+        return sum(int(a.size) * a.dtype.itemsize for a in self)
+
+
 def quantization_params(vectors: jax.Array, live: jax.Array, bits: int):
     """Per-dim affine (offset, scale) over live rows, faiss
     ScalarQuantizer-style min/max training. Returns (offset [d], scale [d]),
@@ -391,3 +447,151 @@ def make_packed_expand(packed: PackedNeighbors, neighbors0: jax.Array,
         return nbrs, dist.reshape(qn, t * m0)
 
     return expand, shift
+
+
+# ---------------------------------------------------------------------------
+# PQ-coded packed rows (PackedPQ)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("pq_bits", "chunk", "n_rows"))
+def _assemble_pq_rows(neighbors0: jax.Array, codes_all: jax.Array, *,
+                      pq_bits: int, chunk: int, n_rows: int) -> jax.Array:
+    """Gather each node's neighbor PQ codes into contiguous rows (nibble-
+    packed at 4 bits), chunked like ``_assemble_rows`` so only the output
+    table is ever table-sized. Keeps the chunk-aligned padded row count
+    (junk pad rows are never gathered — ids < n_rows)."""
+    m0 = neighbors0.shape[1]
+    pm = codes_all.shape[1]
+    bpn = pm if pq_bits == 8 else (pm + 1) // 2
+    row_w = m0 * bpn
+    n_chunks = (n_rows + chunk - 1) // chunk
+    pad_cap = n_chunks * chunk
+    nb = jnp.pad(neighbors0[:n_rows], ((0, pad_cap - n_rows), (0, 0)))
+    out = jnp.zeros((pad_cap, row_w), jnp.uint8)
+
+    def body(i, oc):
+        rows = jax.lax.dynamic_slice(nb, (i * chunk, 0), (chunk, m0))
+        safe = jnp.maximum(rows, 0)
+        nc = codes_all[safe]                      # [chunk, m0, pm] uint8
+        if pq_bits == 4:
+            nc = _pack_nibbles(nc)
+        return jax.lax.dynamic_update_slice(
+            oc, nc.reshape(chunk, row_w), (i * chunk, 0))
+
+    return jax.lax.fori_loop(0, n_chunks, body, out)
+
+
+def pack_pq_neighbors(neighbors0: jax.Array, codes_all: jax.Array,
+                      cb, *, pq_bits: int = 8,
+                      max_bytes: int | None = None,
+                      n_rows: int | None = None,
+                      chunk: int = 1 << 16) -> PackedPQ:
+    """Build PQ-coded packed serving tables from a finished graph.
+
+    codes_all: uint8 [capacity, pq_m] ROUTING codes of every vector under
+    ``cb`` (for pq storage these are the stored codes; for flat/sq8 storage
+    the caller encodes x/x̂ with routing-only codebooks first).
+    pq_bits: 8 (1 byte/code) or 4 (two codes/byte; code values must be
+    < 16, i.e. cb trained with ksub=16)."""
+    if pq_bits not in (4, 8):
+        raise ValueError(f"pq_bits must be 4 or 8, got {pq_bits}")
+    cb = jnp.asarray(cb, jnp.float32)
+    if pq_bits == 4 and cb.shape[1] > 16:
+        raise ValueError("pq_bits=4 requires ksub<=16 routing codebooks "
+                         f"(got ksub={cb.shape[1]})")
+    cap, m0 = neighbors0.shape
+    pm = codes_all.shape[1]
+    if pm != cb.shape[0]:
+        raise ValueError(f"codes have {pm} sub-codes but codebooks have "
+                         f"{cb.shape[0]} subspaces")
+    n_rows = cap if n_rows is None else max(1, min(int(n_rows), cap))
+    bpn = pm if pq_bits == 8 else (pm + 1) // 2
+    eff_chunk = min(chunk, n_rows)
+    pad_cap = ((n_rows + eff_chunk - 1) // eff_chunk) * eff_chunk
+    total = pad_cap * m0 * bpn
+    if max_bytes is not None and total > max_bytes:
+        raise ValueError(
+            f"packed-pq table needs {total / 1e9:.1f} GB "
+            f"(> budget {max_bytes / 1e9:.1f} GB); lower pq_m / use "
+            f"pq_bits=4 or skip packing for this capacity")
+    rows = _assemble_pq_rows(neighbors0, codes_all, pq_bits=pq_bits,
+                             chunk=eff_chunk, n_rows=n_rows)
+    return PackedPQ(rows, cb)
+
+
+def make_packed_pq_expand(packed: PackedPQ, neighbors0: jax.Array,
+                          queries: jax.Array, metric: str):
+    """Returns (expand, shift) for ops.beam.beam_search, like
+    ``make_packed_expand`` but with ADC routing distances computed from the
+    PQ code row (ops/pq.py adc_decode_distance). ADC carries the complete
+    surrogate (norm included), so shift == 0: exactly-scored entry points
+    are already on-scale."""
+    from .pq import adc_decode_distance
+
+    qf = queries.astype(jnp.float32)
+    m0 = neighbors0.shape[1]
+    pm = packed.cb.shape[0]
+    four_bit = packed.pq_bits_for(m0) == 4
+    bpn = packed.bpn(m0)
+
+    def expand(cur: jax.Array, step_ok: jax.Array):
+        safe = jnp.where(step_ok, cur, 0)
+        nbrs = neighbors0[safe]                       # [Q, T, m0]
+        qn, t = safe.shape
+        rows = packed.nbr_codes.at[safe.reshape(-1)].get(
+            mode="clip")                              # [Q*T, m0*bpn]
+        rows = rows.reshape(qn, t * m0, bpn)
+        codes = unpack_nibbles(rows, pm) if four_bit else rows
+        dist = adc_decode_distance(packed.cb, qf, codes, metric)
+        return nbrs, dist                             # [Q, T*m0]
+
+    return expand, jnp.float32(0.0)
+
+
+def _update_packed_pq_rows_impl(nbr_codes: jax.Array, neighbors0: jax.Array,
+                                codes_all: jax.Array, ids: jax.Array, *,
+                                pq_bits: int):
+    m0 = neighbors0.shape[1]
+    pm = codes_all.shape[1]
+    bpn = pm if pq_bits == 8 else (pm + 1) // 2
+    u = ids.shape[0]
+    ok = ids >= 0
+    safe = jnp.maximum(ids, 0)
+    rows = jnp.maximum(neighbors0[safe], 0)            # [U, m0]
+    nc = codes_all[rows]                               # [U, m0, pm]
+    if pq_bits == 4:
+        nc = _pack_nibbles(nc)
+    upd = nc.reshape(u, m0 * bpn)
+    tgt = jnp.where(ok, safe, nbr_codes.shape[0])      # OOB -> dropped
+    return nbr_codes.at[tgt].set(upd, mode="drop")
+
+
+_UPDATE_PQ_EXECS: dict = {}
+
+
+def update_packed_pq_rows(nbr_codes: jax.Array, neighbors0: jax.Array,
+                          codes_all: jax.Array, ids: jax.Array, *,
+                          pq_bits: int) -> jax.Array:
+    """Rewrite the packed-pq rows of ``ids`` (int32 [U], -1 = pad/skip) from
+    the CURRENT adjacency + routing codes — the incremental post-``add()``
+    maintenance path (mirrors ``update_packed_rows``; same layout-pinned,
+    donated dispatch so the multi-GB table is updated in place)."""
+    key = None
+    if next(iter(nbr_codes.devices())).platform == "tpu":
+        key = (str(nbr_codes.format), nbr_codes.shape, pq_bits)
+    if key not in _UPDATE_PQ_EXECS:
+        if key is None:
+            _UPDATE_PQ_EXECS[key] = jax.jit(
+                _update_packed_pq_rows_impl, static_argnames=("pq_bits",),
+                donate_argnums=(0,))
+        else:
+            _UPDATE_PQ_EXECS[key] = jax.jit(
+                functools.partial(_update_packed_pq_rows_impl,
+                                  pq_bits=pq_bits),
+                donate_argnums=(0,),
+                in_shardings=(nbr_codes.format, None, None, None),
+                out_shardings=nbr_codes.format)
+    if key is None:
+        return _UPDATE_PQ_EXECS[key](nbr_codes, neighbors0, codes_all, ids,
+                                     pq_bits=pq_bits)
+    return _UPDATE_PQ_EXECS[key](nbr_codes, neighbors0, codes_all, ids)

@@ -36,7 +36,9 @@ import jax.numpy as jnp
 
 from ..config import IP
 
-KSUB = 256  # 8 bits per sub-code (faiss ProductQuantizer default)
+KSUB = 256  # 8 bits per sub-code (faiss ProductQuantizer default);
+# ksub=16 (4 bits, faiss PQx4 "fast-scan" parity) is supported everywhere —
+# every consumer derives ksub from the codebook/LUT shape.
 
 
 def split_sub(x: jax.Array, m_sub: int) -> jax.Array:
@@ -53,6 +55,7 @@ def _assign_update(xs: jax.Array, cb: jax.Array, *, chunk: int):
     [m, ksub, dsub]. Returns (sums [m, ksub, dsub], counts [m, ksub],
     sse []) — the caller divides and handles empty clusters."""
     n, m, dsub = xs.shape
+    ksub = cb.shape[1]
     cb_sq = jnp.sum(cb * cb, axis=-1)                       # [m, ksub]
 
     def step(carry, xt):                                     # xt [chunk, m, dsub]
@@ -62,7 +65,7 @@ def _assign_update(xs: jax.Array, cb: jax.Array, *, chunk: int):
         dist = cb_sq[None] - 2.0 * dots                      # [chunk, m, ksub]
         code = jnp.argmin(dist, axis=-1)                     # [chunk, m]
         best = jnp.take_along_axis(dist, code[..., None], axis=-1)[..., 0]
-        oh = jax.nn.one_hot(code, KSUB, dtype=jnp.float32)   # [chunk, m, ksub]
+        oh = jax.nn.one_hot(code, ksub, dtype=jnp.float32)   # [chunk, m, ksub]
         sums = sums + jnp.einsum("nmk,nmd->mkd", oh, xt,
                                  preferred_element_type=jnp.float32)
         counts = counts + jnp.sum(oh, axis=0)
@@ -70,25 +73,27 @@ def _assign_update(xs: jax.Array, cb: jax.Array, *, chunk: int):
         sse = sse + jnp.sum(best + xsq)  # ||x-c||² = ||x||² + (||c||²-2x·c)
         return (sums, counts, sse), None
 
-    init = (jnp.zeros((m, KSUB, dsub), jnp.float32),
-            jnp.zeros((m, KSUB), jnp.float32), jnp.float32(0.0))
+    init = (jnp.zeros((m, ksub, dsub), jnp.float32),
+            jnp.zeros((m, ksub), jnp.float32), jnp.float32(0.0))
     (sums, counts, sse), _ = jax.lax.scan(
         step, init, xs.reshape(-1, chunk, m, dsub))
     return sums, counts, sse
 
 
-def train_pq(x: np.ndarray, m_sub: int, *, iters: int = 25, seed: int = 42,
+def train_pq(x: np.ndarray, m_sub: int, *, ksub: int = KSUB,
+             iters: int = 25, seed: int = 42,
              max_points: int = 65536, chunk: int = 8192) -> np.ndarray:
     """Per-subspace k-means (faiss ``ProductQuantizer::train`` semantics:
-    Lloyd iterations, ksub=256 centroids, training subsampled to
-    ``max_points``). Deterministic given ``seed``. Returns f32 codebooks
-    [m_sub, ksub, dsub] as numpy (callers device_put / close over them)."""
+    Lloyd iterations, ``ksub`` centroids — 256 for the faiss 8-bit default,
+    16 for PQx4 fast-scan parity — training subsampled to ``max_points``).
+    Deterministic given ``seed``. Returns f32 codebooks [m_sub, ksub, dsub]
+    as numpy (callers device_put / close over them)."""
     x = np.asarray(x, np.float32)
     n, d = x.shape
     if d % m_sub:
         raise ValueError(f"pq_m={m_sub} must divide d={d}")
-    if n < KSUB:
-        raise ValueError(f"PQ training needs >= {KSUB} points, got {n} "
+    if n < ksub:
+        raise ValueError(f"PQ training needs >= {ksub} points, got {n} "
                          "(faiss ProductQuantizer has the same floor)")
     rng = np.random.default_rng(seed)
     if n > max_points:
@@ -99,7 +104,7 @@ def train_pq(x: np.ndarray, m_sub: int, *, iters: int = 25, seed: int = 42,
     # init: a shared random sample of training points (faiss seeds each
     # subquantizer from the data too)
     cb = np.ascontiguousarray(
-        xs_np[rng.choice(n, KSUB, replace=False)].transpose(1, 0, 2))
+        xs_np[rng.choice(n, ksub, replace=False)].transpose(1, 0, 2))
     pad = (-n) % chunk
     xs = jnp.asarray(np.concatenate(
         [xs_np, np.zeros((pad, m_sub, dsub), np.float32)]) if pad else xs_np)
@@ -130,17 +135,24 @@ def train_pq(x: np.ndarray, m_sub: int, *, iters: int = 25, seed: int = 42,
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
-def encode_pq(x: jax.Array, cb: jax.Array, *, chunk: int = 1 << 16
-              ) -> jax.Array:
+def encode_pq(x: jax.Array, cb: jax.Array, *, chunk: int = 1 << 16,
+              dequant=None) -> jax.Array:
     """f32 [n, d] -> uint8 codes [n, m_sub] (nearest centroid per subspace),
     streamed in n-chunks so the [n, m, ksub] distance tensor never
-    materializes (16 GB at 1M x m=16)."""
+    materializes (16 GB at 1M x m=16).
+
+    ``dequant``: optional (offset [d], scale [d]) when ``x`` holds sq8
+    storage codes — each chunk is dequantized to x̂ in-register before
+    encoding (never materializing an f32 copy of the table)."""
     n, d = x.shape
     m_sub = cb.shape[0]
     cb_sq = jnp.sum(cb * cb, axis=-1)
 
     def enc(xt):
-        xsub = split_sub(xt.astype(jnp.float32), m_sub)
+        xt = xt.astype(jnp.float32)
+        if dequant is not None:
+            xt = dequant[0] + dequant[1] * xt
+        xsub = split_sub(xt, m_sub)
         dots = jnp.einsum("nmd,mkd->nmk", xsub, cb,
                           preferred_element_type=jnp.float32)
         return jnp.argmin(cb_sq[None] - 2.0 * dots, axis=-1).astype(jnp.uint8)
@@ -180,11 +192,84 @@ def pq_lut(queries: jax.Array, cb: jax.Array, metric: str) -> jax.Array:
 
 def adc_distance(lut: jax.Array, codes: jax.Array) -> jax.Array:
     """lut [Q, m_sub, ksub] x codes [Q, K, m_sub] -> surrogate distances
-    [Q, K]: m_sub in-register row lookups per candidate (the stored bytes
-    already fetched by the caller's gather)."""
+    [Q, K] via per-element LUT lookups.
+
+    NOT the TPU hot path: Q*K*m_sub take_along_axis lookups hit the
+    gather-engine element rate — measured 167 ms per hop-shaped call
+    (Q=8192, K=64, m=16, ksub=256) vs 7 ms for the one-hot-matmul decode
+    formulation (scripts/adc_bench2.py). Kept as the reference
+    implementation (tests) and for small host-side calls; serving and build
+    route through ``adc_decode_distance``."""
     idx = jnp.swapaxes(codes.astype(jnp.int32), -1, -2)   # [Q, m, K]
     vals = jnp.take_along_axis(lut, idx, axis=-1)          # [Q, m, K]
     return jnp.sum(vals, axis=-2)
+
+
+def _decode_onehot(codes: jax.Array, cb: jax.Array, dt, precision):
+    """codes [..., m] -> x̂ [..., m*dsub] by one-hot MXU matmul (no gather).
+
+    With ``dt=float32`` + HIGHEST precision the selection is EXACT (each
+    output element is 1.0 * one codebook entry accumulated in f32)."""
+    m_sub, ksub, dsub = cb.shape
+    oh = jax.nn.one_hot(codes.astype(jnp.int32), ksub, dtype=dt)
+    xh = jnp.einsum("...mc,mcd->...md", oh, cb.astype(dt),
+                    preferred_element_type=jnp.float32,
+                    precision=precision)
+    return xh.reshape(*codes.shape[:-1], m_sub * dsub)
+
+
+def adc_decode_distance(cb: jax.Array, queries: jax.Array, codes: jax.Array,
+                        metric: str, *, exact: bool = False,
+                        max_bytes: int = 1 << 29) -> jax.Array:
+    """Surrogate ADC distances [Q, K] from cb [m, ksub, dsub], queries
+    [Q, d], codes [Q, K, m] — value-equal to the LUT formulation
+    (``sum_m lut[q, m, codes]``): decode x̂ on the MXU (one-hot matmul),
+    then contract with the query. 24x faster than per-element LUT lookups
+    on TPU (module docstring of scripts/adc_bench2.py runs).
+
+    ``exact=False`` (routing): default-precision matmuls — on TPU the MXU
+    rounds operands to bf16, so x̂ carries ~4e-3 relative rounding, well
+    under PQ's own quantization error; the extraction rerank restores
+    exact ADC values. Measured identical speed to bf16 operands
+    (scripts/adc_bench2.py decodef), and f32 operands keep the CPU
+    backend happy (its dot thunk lacks bf16 x bf16 -> f32).
+    ``exact=True`` (rerank/oracle-grade): HIGHEST precision — the decode
+    is bit-exact (each x̂ element is 1.0 * one f32 codebook entry) and
+    distances match the brute-force ADC oracle.
+
+    The one-hot transient is [Q, K, m, ksub] f32; queries are chunked with
+    lax.map so it stays under ``max_bytes``.
+    """
+    q, k = codes.shape[:2]
+    m_sub, ksub, _ = cb.shape
+    dt = jnp.float32
+    prec = jax.lax.Precision.HIGHEST if exact else None
+    itemsize = 4
+    qf = queries.astype(jnp.float32)
+
+    def dist(args):
+        qc, cc = args
+        xh = _decode_onehot(cc, cb, dt, prec)              # [cq, K, d]
+        dots = jnp.einsum("qd,qkd->qk", qc, xh,
+                          preferred_element_type=jnp.float32,
+                          precision=prec)
+        if metric == IP:
+            return -dots
+        sq = jnp.einsum("qkd,qkd->qk", xh, xh,
+                        preferred_element_type=jnp.float32,
+                        precision=prec)
+        return sq - 2.0 * dots
+
+    row_bytes = max(k * m_sub * ksub * itemsize, 1)
+    chunk = max(min(q, max_bytes // row_bytes), 1)
+    if chunk >= q:
+        return dist((qf, codes))
+    pad = (-q) % chunk
+    qp = jnp.pad(qf, ((0, pad), (0, 0)))
+    cp = jnp.pad(codes, ((0, pad), (0, 0), (0, 0)))
+    out = jax.lax.map(dist, (qp.reshape(-1, chunk, qf.shape[1]),
+                             cp.reshape(-1, chunk, k, m_sub)))
+    return out.reshape(-1, k)[:q]
 
 
 def pq_sqnorms(codes: jax.Array, cb: jax.Array) -> jax.Array:

@@ -22,7 +22,8 @@ import jax.numpy as jnp
 from .config import IP, L2
 from .graph import GraphArrays
 from .ops import beam as beam_ops
-from .ops.packed import PackedNeighbors, make_packed_expand
+from .ops.packed import (PackedNeighbors, PackedPQ, make_packed_expand,
+                         make_packed_pq_expand)
 
 
 class SearchStats(NamedTuple):
@@ -55,21 +56,22 @@ def _make_distance_fn(vectors: jax.Array, sqnorms: jax.Array, queries: jax.Array
     of f32 storage.
 
     ``pq``: codebooks f32 [m_sub, ksub, dsub] when ``vectors`` holds PQ
-    codes (cfg.dtype == "pq"): distances are ADC via a per-query LUT
-    built ONCE per batch (ops/pq.py) — the per-candidate fetch is then
-    m_sub BYTES + m_sub in-register lookups, the lowest-bandwidth routing
-    mode here; faiss IndexHNSWPQ DistanceComputer semantics.
+    codes (cfg.dtype == "pq"): routing distances are ADC computed by the
+    one-hot-matmul decode formulation (ops/pq.py adc_decode_distance —
+    24x faster on TPU than per-element LUT lookups); the per-candidate
+    fetch is m_sub BYTES, the lowest-bandwidth routing mode here. Routing
+    decode runs in bf16; the extraction rerank restores exact ADC values
+    (faiss IndexHNSWPQ DistanceComputer semantics).
     """
     qf = queries.astype(jnp.float32)
 
     if pq is not None:
-        from .ops.pq import adc_distance, pq_lut
-        lut = pq_lut(qf, pq, metric)                       # [Q, m, ksub]
+        from .ops.pq import adc_decode_distance
 
         def distance_to(ids: jax.Array, mask: jax.Array) -> jax.Array:
             ids_safe = jnp.where(mask, ids, 0)
             codes = vectors[ids_safe]                      # [Q, K, m_sub] u8
-            return adc_distance(lut, codes)
+            return adc_decode_distance(pq, qf, codes, metric)
 
         return distance_to
 
@@ -335,7 +337,14 @@ def _hnsw_search_impl(
 
     # --- level-0 beam search
     expand = None
-    if packed is not None:
+    if isinstance(packed, PackedPQ):
+        # PQ-coded packed rows: the beam routes on ADC distances computed
+        # from one code row per expanded node; ADC is already on the full
+        # surrogate scale (shift == 0), exact rerank restores precision
+        expand, scale_shift = make_packed_pq_expand(
+            packed, graph.neighbors0, queries, metric)
+        ep0_dist = ep0_dist + scale_shift
+    elif packed is not None:
         # packed serving mode: beam routes on quantized code-row distances;
         # the exactly-scored entry point is shifted onto the same scale
         # (ops/packed.py module docstring), exact rerank restores precision
@@ -357,25 +366,34 @@ def _hnsw_search_impl(
                                  expand=expand)
 
     # --- top-k extraction (buffer is already sorted ascending)
-    if packed is not None:
-        # exact f32 rerank of the final buffer: one [Q, ef] gather (the cost
-        # of a single hop) replaces routing distances with exact surrogate
+    if packed is not None or pq is not None:
+        # exact rerank of the final buffer: one [Q, ef] gather (the cost of
+        # a single hop) replaces routing distances (quantized code rows for
+        # packed mode, bf16-decoded ADC for pq) with exact surrogate
         # distances; the two-key dedup sort also collapses any duplicates
         src_ids = state.res_ids if allowed is not None else state.buf_ids
         safe = jnp.maximum(src_ids, 0)
-        vecs = vectors[safe].astype(jnp.float32)
-        if dequant is not None:
-            vecs = dequant[0] + dequant[1] * vecs
-        dots = jnp.einsum("qd,qkd->qk", queries, vecs,
-                          preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
-        if metric == IP:
-            ex = -dots
+        if pq is not None:
+            # exact ADC over x̂ (f32 one-hot decode, HIGHEST contractions):
+            # matches the brute-force ADC oracle bit-for-bit in spirit —
+            # faiss IndexHNSWPQ returns exactly these values
+            from .ops.pq import adc_decode_distance
+            ex = adc_decode_distance(pq, queries, vectors[safe], metric,
+                                     exact=True)
         else:
-            sq = jnp.einsum("qkd,qkd->qk", vecs, vecs,
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
-            ex = sq - 2.0 * dots
+            vecs = vectors[safe].astype(jnp.float32)
+            if dequant is not None:
+                vecs = dequant[0] + dequant[1] * vecs
+            dots = jnp.einsum("qd,qkd->qk", queries, vecs,
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
+            if metric == IP:
+                ex = -dots
+            else:
+                sq = jnp.einsum("qkd,qkd->qk", vecs, vecs,
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
+                ex = sq - 2.0 * dots
         ex = jnp.where(src_ids >= 0, ex, jnp.inf)
         buf_ids, buf_dist = beam_ops.dedup_sorted_buffer(src_ids, ex)
     elif allowed is not None:

@@ -19,7 +19,15 @@ def test_flat_spec():
     assert isinstance(idx, FlatIndex)
 
 
-@pytest.mark.parametrize("spec", ["HNSW32,PQ8", "IVF100,Flat", "", "Flat,Flat"])
+def test_codec_specs():
+    idx = index_factory(16, "HNSW32,SQ8", capacity=512)
+    assert idx.config.is_sq
+    idx = index_factory(16, "HNSW32,PQ8", capacity=512)
+    assert idx.config.is_pq and idx.config.pq_m == 8
+
+
+@pytest.mark.parametrize("spec", ["IVF100,Flat", "", "Flat,Flat",
+                                  "HNSW32,PQ5"])
 def test_unsupported(spec):
     with pytest.raises(ValueError):
         index_factory(16, spec)

@@ -173,10 +173,100 @@ def test_pq_factory_filters_deletion_and_tune():
     # tune_ef_search runs against the pq-aware exact oracle
     ef = idx.tune_ef_search(np.asarray(wl.queries[:16]), 0.9, k=5)
     assert ef in (16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512)
-    # packed tables are refused on pq storage (documented: pq routing is
-    # already the low-transaction mode)
-    with pytest.raises(ValueError, match="packed"):
-        idx.enable_packed()
+    # sq packed rows are refused on pq storage (pq packs its own codes)
+    with pytest.raises(ValueError, match="mode='pq'"):
+        idx.enable_packed(mode="sq")
+
+
+def test_pq_packed_rows_parity():
+    """enable_packed() on pq storage: PQ-coded packed rows (PackedPQ).
+    Routing reads one row per expanded node; ADC values are identical to
+    the unpacked path, so results must match (both exactly reranked)."""
+    idx, wl = _pq_index(n=2500, d=24, pq_m=8)
+    d0, i0 = idx.search(wl.queries, 10, ef_search=96)
+    nb = idx.enable_packed()
+    assert idx.packed_enabled
+    # row width: m0 * pq_m bytes — 8-16x smaller than sq rows (m0 * d)
+    from hnsw_tpu.ops.packed import PackedPQ
+    assert isinstance(idx._packed, PackedPQ)
+    assert idx._packed.nbr_codes.shape[1] == idx.config.m0 * 8
+    assert nb >= idx._packed.nbr_codes.size
+    d1, i1 = idx.search(wl.queries, 10, ef_search=96)
+    r0 = recall_at_k(i1, i0, 10)
+    assert r0 >= 0.99, r0
+    match = i0 == i1
+    np.testing.assert_allclose(d0[match], d1[match], rtol=1e-4, atol=1e-4)
+
+
+def test_pq_4bit_end_to_end():
+    """pq_bits=4 (faiss PQx4 fast-scan geometry): ksub=16 codebooks,
+    nibble-packed rows, same exact-over-x̂ contract."""
+    wl = synthetic_workload(2000, 16, n_queries=64, metric="l2", seed=5)
+    idx = index_factory(16, "HNSW8,PQ8x4", capacity=2560,
+                        ef_construction=60)
+    assert idx.config.pq_bits == 4 and idx.config.pq_ksub == 16
+    idx.train(wl.base)
+    idx.add(wl.base)
+    assert int(np.asarray(idx._vectors[: idx.ntotal]).max()) < 16
+    xhat = idx.reconstruct_n(0, 2000)
+    _, gt_hat = exact_knn(xhat, wl.queries, 10, "l2")
+    _, i_pq = idx.search(wl.queries, 10, ef_search=96)
+    assert recall_at_k(i_pq, gt_hat, 10) >= 0.95
+    # packed rows are nibble-packed: bpn = pq_m / 2
+    idx.enable_packed()
+    assert idx._packed.nbr_codes.shape[1] == idx.config.m0 * 4
+    _, i_p = idx.search(wl.queries, 10, ef_search=96)
+    assert recall_at_k(i_p, gt_hat, 10) >= 0.95
+
+
+def test_pq_routing_rows_on_flat_storage():
+    """enable_packed(mode='pq') on FLAT storage: routing-only codebooks,
+    ADC routing + exact f32 rerank — the low-memory packed configuration
+    (m0 * pq_m bytes/row instead of m0 * d)."""
+    wl = synthetic_workload(2500, 24, n_queries=96, metric="l2", seed=11)
+    idx = hnsw_tpu.HnswIndex(24, 8, "l2", capacity=3072,
+                             ef_construction=80)
+    idx.add(wl.base)
+    _, gt = exact_knn(wl.base, wl.queries, 10, "l2")
+    _, i0 = idx.search(wl.queries, 10, ef_search=96)
+    r_un = recall_at_k(i0, gt, 10)
+    with pytest.raises(ValueError, match="pq_m"):
+        idx.enable_packed(mode="pq")          # pq_m required
+    idx.enable_packed(mode="pq", pq_m=8, train_x=wl.base)
+    from hnsw_tpu.ops.packed import PackedPQ
+    assert isinstance(idx._packed, PackedPQ)
+    d1, i1 = idx.search(wl.queries, 10, ef_search=96)
+    r_pk = recall_at_k(i1, gt, 10)
+    assert r_pk >= r_un - 0.02, (r_pk, r_un)
+    # rerank is exact f32: distances of agreeing ids match the oracle
+    d_gt, _ = exact_knn(wl.base, wl.queries, 10, "l2")
+    match = i1 == gt
+    np.testing.assert_allclose(d1[match], d_gt[match], rtol=1e-4, atol=1e-4)
+    # retraining with a different pq_m requires an explicit reset
+    with pytest.raises(ValueError, match="reset_routing"):
+        idx.enable_packed(mode="pq", pq_m=12, train_x=wl.base)
+    idx.disable_packed(reset_routing=True)
+    # 4-bit routing codes: nibble-packed rows, coarser routing absorbed by ef
+    idx.enable_packed(mode="pq", pq_m=8, pq_bits=4, train_x=wl.base)
+    assert idx._packed.nbr_codes.shape[1] == idx.config.m0 * 4
+    _, i2 = idx.search(wl.queries, 10, ef_search=192)
+    assert recall_at_k(i2, gt, 10) >= r_un - 0.05
+
+
+def test_pq_packed_incremental_add():
+    """add() after enable_packed() on pq storage maintains the PackedPQ
+    rows incrementally; post-add packed search equals a fresh re-pack."""
+    idx, wl = _pq_index(n=1500, d=24, pq_m=8)
+    idx.enable_packed(reserve=256)
+    extra = wl.base[:128] + 0.01
+    idx.add(np.asarray(extra, np.float32))
+    assert idx.packed_enabled, "incremental refresh dropped packed mode"
+    d1, i1 = idx.search(wl.queries, 10, ef_search=96)
+    idx.disable_packed()
+    idx.enable_packed(reserve=0)
+    d2, i2 = idx.search(wl.queries, 10, ef_search=96)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(d1, d2, rtol=1e-5, atol=1e-5)
 
 
 def test_pq_memory_is_codes_only():
