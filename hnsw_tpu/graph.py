@@ -121,13 +121,21 @@ def load_graph(path: str, as_numpy: bool = False):
 # ---------------------------------------------------------------------------
 
 def check_invariants(graph: GraphArrays, cfg: HnswConfig,
-                     strict: bool = True) -> dict:
+                     strict: bool = True, alive=None) -> dict:
     """Validate structural invariants; returns stats. Raises on violation when
-    strict. Host-side (numpy) — debug/test path, not the hot path."""
+    strict. Host-side (numpy) — debug/test path, not the hot path.
+
+    ``alive`` (bool [capacity], optional): tombstone mask. Dead nodes are
+    exempt from liveness invariants — post-vacuum they are isolated with
+    cleared rows BY DESIGN — and ``links_to_dead`` (live rows still
+    referencing dead ids; nonzero before vacuum, must be 0 after) is
+    reported as a stat."""
     g = {k: np.asarray(v) for k, v in graph._asdict().items()}
     n = int(g["ntotal"])
     errors: list[str] = []
     stats: dict = {"ntotal": n, "max_level": int(g["max_level"])}
+    live = (np.ones(n, bool) if alive is None
+            else np.asarray(alive)[:n].astype(bool))
 
     nbr0 = g["neighbors0"][:n]
     valid0 = nbr0 >= 0
@@ -146,9 +154,13 @@ def check_invariants(graph: GraphArrays, cfg: HnswConfig,
         deg0 = valid0.sum(1)
         stats["deg0_mean"] = float(deg0.mean())
         stats["deg0_max"] = int(deg0.max())
-        stats["isolated0"] = int((deg0 == 0).sum())
-        if n > 1 and stats["isolated0"] > 0:
+        stats["isolated0"] = int(((deg0 == 0) & live).sum())
+        if live.sum() > 1 and stats["isolated0"] > 0:
             errors.append(f"{stats['isolated0']} isolated nodes at level 0")
+        if alive is not None:
+            stats["links_to_dead"] = int(
+                (valid0 & live[:, None]
+                 & ~live[np.maximum(nbr0, 0)]).sum())
         # reciprocity rate (diagnostic, not an error: the heuristic legally
         # prunes one direction, same as faiss shrink_neighbor_list).
         # Vectorized (VERDICT.md r2 Weak #7): sorted int64 edge keys +
@@ -169,7 +181,8 @@ def check_invariants(graph: GraphArrays, cfg: HnswConfig,
 
         ep = int(g["entry_point"])
         if not (0 <= ep < n):
-            errors.append(f"entry point {ep} out of range")
+            if live.any():  # all-deleted graphs legally have ep == -1
+                errors.append(f"entry point {ep} out of range")
         elif g["levels"][ep] != g["max_level"]:
             errors.append("entry point level != max_level")
 

@@ -63,6 +63,9 @@ class HnswIndex:
         self._host: NumpyHnsw | None = None
         self._builder = None  # lazily constructed device builder
         self._alive = None    # tombstone mask [capacity]; None == no removals
+        self._routing_clean = True  # False after remove_ids until vacuum():
+        #                             dead ids are reachable and must be
+        #                             filtered out of results
         self._packed = None   # packed neighbor-code tables (enable_packed)
         self._route = None    # (cb, codes): PQ ROUTING codec for packed-pq
         #                       rows over non-pq storage (enable_packed
@@ -455,7 +458,8 @@ class HnswIndex:
             packed = self._packed
         else:
             packed = None
-        if self.ntotal == 0:
+        if self.ntotal == 0 or (self._alive is not None
+                                and self.n_deleted >= self.ntotal):
             n = len(x)
             return (np.full((n, k), np.inf, np.float32),
                     np.full((n, k), -1, np.int64))
@@ -465,7 +469,10 @@ class HnswIndex:
             x = jnp.asarray(np.asarray(x, np.float32))
         if allowed is not None:
             allowed = self._normalize_allowed(allowed)
-        if self._alive is not None:  # tombstones compose with user filters
+        if self._alive is not None and not self._routing_clean:
+            # tombstones compose with user filters; after vacuum() dead ids
+            # are unreachable by routing, so no filter (or its forced
+            # full-convergence beam) is needed
             allowed = self._alive if allowed is None else \
                 (allowed & self._alive)
         ef = int(ef_search or self.ef_search)
@@ -612,13 +619,87 @@ class HnswIndex:
             self._alive = jnp.ones((self.config.capacity,), jnp.bool_)
         before = self.n_deleted
         self._alive = self._alive.at[jnp.asarray(ids, jnp.int32)].set(False)
+        self._routing_clean = False  # until vacuum() re-patches routing
         return self.n_deleted - before
+
+    def vacuum(self) -> int:
+        """Physically remove tombstoned nodes from routing (ops/vacuum.py).
+
+        After ``remove_ids``, dead nodes still route queries (tombstoning
+        filters results only) and result filtering forces full-convergence
+        beams. ``vacuum()`` deletes every link into dead nodes, patches the
+        holes with candidates inherited from the dead nodes' own lists
+        (re-pruned by the select-neighbors heuristic — hnswlib's deletion
+        repair rule), clears dead rows, and moves the entry point to a live
+        node — after which unfiltered searches can never reach a dead id,
+        so they run at full (hop-capped) speed again. Ids stay stable and
+        slots are not reused (``compacted()`` is the renumbering path).
+        Packed tables are invalidated (adjacency changed wholesale) — call
+        ``enable_packed()`` again. Returns the number of nodes vacuumed."""
+        if self._alive is None or self.n_deleted == 0:
+            self._routing_clean = True
+            return 0
+        from ..ops.vacuum import live_entry_point, vacuum_level0, vacuum_upper
+        n_dead = self.n_deleted
+        dead = (~self._alive) & (self._graph.levels >= 0)
+        self._packed = None  # rows reference pre-vacuum adjacency
+        g = self._graph
+        nb0, upper = g.neighbors0, g.upper_neighbors
+        self._graph = None  # sole-reference discipline: both get donated
+        try:
+            nb0 = vacuum_level0(nb0, self._vectors, dead,
+                                metric=self.config.metric,
+                                dequant=self._sq, pq=self._pq)
+            upper = vacuum_upper(upper, g.upper_node, g.upper_slot,
+                                 g.levels, self._vectors, dead,
+                                 metric=self.config.metric,
+                                 dequant=self._sq, pq=self._pq)
+            ep, mx = live_entry_point(g.levels, dead)
+        finally:
+            self._graph = g._replace(neighbors0=nb0, upper_neighbors=upper)
+        self._graph = self._graph._replace(entry_point=ep, max_level=mx)
+        self._routing_clean = True
+        return int(n_dead)
+
+    def compacted(self, x: np.ndarray | None = None) -> tuple[
+            "HnswIndex", np.ndarray]:
+        """Rebuild WITHOUT tombstoned ids, renumbering like faiss
+        ``remove_ids``. Returns (new_index, old_ids) where ``old_ids[j]``
+        is the original id of the new index's id j.
+
+        ``x``: the original f32 vectors [ntotal, d] (host). If omitted they
+        are pulled via ``reconstruct_n`` — fine on CPU, extremely slow
+        through a tunneled device (see verify notes)."""
+        n = self.ntotal
+        if x is None:
+            x = self.reconstruct_n(0, n)
+        x = np.asarray(x, np.float32)
+        if x.shape[0] != n:
+            raise ValueError(f"expected all {n} original vectors, "
+                             f"got {x.shape[0]}")
+        alive = (np.ones(n, bool) if self._alive is None
+                 else np.asarray(self._alive[:n]))
+        old_ids = np.flatnonzero(alive)
+        cfg = self.config
+        out = HnswIndex(config=cfg, build=self.build_mode)
+        out.ef_construction = self.ef_construction
+        out.ef_search = self.ef_search
+        if cfg.is_sq or cfg.is_pq:
+            out._sq, out._sq_np = self._sq, self._sq_np
+            out._pq, out._pq_np = self._pq, self._pq_np
+            out.is_trained = True
+        if len(old_ids):
+            out.add(x[old_ids])
+        return out, old_ids
 
     # -- maintenance ------------------------------------------------------------
     def check(self, strict: bool = True) -> dict:
         """Structural invariant check (debug; SURVEY.md §5 race-detection
-        analogue)."""
-        return check_invariants(self._graph, self.config, strict=strict)
+        analogue). Tombstoned nodes (``remove_ids``) are exempt from the
+        liveness invariants (isolation; post-vacuum they are isolated by
+        design)."""
+        return check_invariants(self._graph, self.config, strict=strict,
+                                alive=self._alive)
 
     # -- persistence (faiss write_index/read_index parity, C12) ---------------
     def save(self, path: str) -> None:
@@ -632,7 +713,7 @@ class HnswIndex:
                 "save(): pulling ~%d MB through device->host; on a tunneled "
                 "device this can be extremely slow (see verify SKILL notes)",
                 nbytes >> 20)
-        extra = {}
+        extra = {"routing_clean": bool(self._routing_clean)}
         if self._builder is not None:
             extra["builder_rng_state"] = _jsonify(
                 self._builder.rng.bit_generator.state)
@@ -679,6 +760,8 @@ class HnswIndex:
             idx._sqnorms = compute_sqnorms(idx._vectors, dequant=idx._sq)
         if "alive" in xarr:
             idx._alive = jnp.asarray(xarr["alive"])
+            # pre-vacuum tombstones must keep filtering after a reload
+            idx._routing_clean = bool(extra.get("routing_clean", False))
         if "builder_rng_state" in extra:
             from ..build import DeviceBuilder
             idx._builder = DeviceBuilder(cfg, sq_params=idx._sq_np,
