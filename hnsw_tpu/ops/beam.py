@@ -79,19 +79,28 @@ def test_visited(visited: jax.Array, ids: jax.Array,
 
 def init_beam(entry_ids: jax.Array, entry_dists: jax.Array, ef: int,
               capacity: int, active: jax.Array | None = None,
-              visited_mode: str = "buffer") -> BeamState:
+              visited_mode: str = "buffer",
+              key_dtype=jnp.float32) -> BeamState:
     """Seed the beam with one entry point per query (already visited).
 
     ``active`` (bool [Q], optional): inactive queries start fully expanded,
     so the while-loop never does work for them (used by the builder to mask
-    batch points not present at a given level)."""
+    batch points not present at a given level).
+
+    ``key_dtype``: dtype of the buffer distances — the per-hop merge is a
+    two-operand lax.sort whose cost is keyed by this dtype: f32 keys cost
+    3.83 ms per [8192, 128] merge on v5e, bf16 keys 1.11 ms (3.4x — the
+    single largest term of the hop; scripts/hop_cost_bench.py). The QUERY
+    path uses bf16 (routing-grade: the extraction rerank restores exact
+    distances for every mode); the BUILDER keeps f32 — its buffer
+    distances feed the select-neighbors pruning directly."""
     qn = entry_ids.shape[0]
     if active is None:
         active = jnp.ones((qn,), jnp.bool_)
     buf_ids = jnp.full((qn, ef), -1, jnp.int32).at[:, 0].set(
         jnp.where(active, entry_ids, -1))
-    buf_dist = jnp.full((qn, ef), INF, jnp.float32).at[:, 0].set(
-        jnp.where(active, entry_dists, INF))
+    buf_dist = jnp.full((qn, ef), INF, key_dtype).at[:, 0].set(
+        jnp.where(active, entry_dists, INF).astype(key_dtype))
     buf_exp = jnp.ones((qn, ef), jnp.bool_).at[:, 0].set(~active)
     if visited_mode == "bitmap":
         visited = init_visited(qn, capacity)
@@ -111,8 +120,12 @@ def attach_result_buffer(state: BeamState, k: int, allowed: jax.Array
     ok = (e_id >= 0) & allowed[jnp.maximum(e_id, 0)]
     res_ids = jnp.full((qn, k), -1, jnp.int32).at[:, 0].set(
         jnp.where(ok, e_id, -1))
+    # the result buffer keeps f32 keys even when the main buffer merges in
+    # bf16: it is only k wide (its sort is cheap) and it SELECTS the final
+    # k — bf16 keys here would let boundary near-ties diverge from the
+    # exactly-reranked unfiltered result set
     res_dist = jnp.full((qn, k), INF, jnp.float32).at[:, 0].set(
-        jnp.where(ok, state.buf_dist[:, 0], INF))
+        jnp.where(ok, state.buf_dist[:, 0].astype(jnp.float32), INF))
     return state._replace(res_ids=res_ids, res_dist=res_dist)
 
 
@@ -221,14 +234,20 @@ def beam_search(
         if visited_mode == "bitmap":
             visited = mark_visited(s.visited, nbrs, fresh)
 
-        dist = pre_dist if pre_dist is not None else distance_to(nbrs, fresh)
-        dist = jnp.where(fresh, dist, INF)
+        dist = jnp.where(
+            fresh,
+            pre_dist if pre_dist is not None else distance_to(nbrs, fresh),
+            INF)
         ndis = s.ndis + jnp.sum(fresh, axis=1, dtype=jnp.int32)
+        # main-buffer merge keys in the buffer's dtype (bf16 on the query
+        # path: the merge sort below is 3.4x cheaper — see init_beam); the
+        # f32 `dist` stays live for the result buffer's exact selection
+        dist_key = dist.astype(s.buf_dist.dtype)
 
         # -- merge into the sorted top-ef buffer. One multi-operand lax.sort
         # with (id, exp) packed into a single payload is ~2.4x faster on TPU
         # than top_k + take_along_axis per operand (gathers are the slow op).
-        all_d = jnp.concatenate([s.buf_dist, dist], axis=1)
+        all_d = jnp.concatenate([s.buf_dist, dist_key], axis=1)
         payload = jnp.concatenate(
             [(s.buf_ids << 1) | buf_exp.astype(jnp.int32),
              (jnp.where(fresh, nbrs, -1) << 1) | (~fresh).astype(jnp.int32)],

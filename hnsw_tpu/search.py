@@ -206,10 +206,20 @@ def hnsw_search(
     packed: PackedNeighbors | None = None,
     dequant=None,
     pq=None,
+    beam_keys: str = "auto",
 ):
     """Batched k-NN query. Returns (dists [Q, k], ids [Q, k]) sorted
     ascending; ids are -1 (dist inf) past the reachable set. With
     ``with_stats`` also returns SearchStats (faiss hnsw_stats parity).
+
+    ``beam_keys``: dtype of the beam's merge-sort keys — the hop's
+    dominant cost (3.83 ms f32 vs 1.11 ms bf16 per [8192, 128] merge,
+    scripts/hop_cost_bench.py). "auto" (default) = bf16 where routing is
+    already quantized (packed rows / PQ ADC — rounding far below the
+    codes' noise), f32 for exact-storage routing (bf16 buckets near-ties
+    and can evict a true top-k member from the buffer). "bf16" forces the
+    fast keys for exact modes too — a documented speed/recall knob; the
+    extraction rerank keeps returned distances exact either way.
 
     ``packed`` (ops/packed.py): optional packed neighbor-code tables. The
     level-0 beam then routes on quantized distances read from one fat row
@@ -242,18 +252,22 @@ def hnsw_search(
         hop_limit = max_hops
     else:
         hop_limit = 1 << 30  # converge: never binds before max_hops
+    if beam_keys not in ("auto", "bf16", "f32"):
+        raise ValueError(f"beam_keys must be auto|bf16|f32, got {beam_keys!r}")
     return _hnsw_search(
         graph, vectors, sqnorms, queries, jnp.asarray(ef, jnp.int32),
         jnp.asarray(hop_limit, jnp.int32),
         k=k, ef_buf=ef_bucket(ef), metric=metric,
         max_level_cap=max_level_cap, n_expand=n_expand,
         with_stats=with_stats, visited_mode=visited_mode, allowed=allowed,
-        packed=packed, dequant=dequant, pq=pq, pallas_hop=_use_pallas_hop())
+        packed=packed, dequant=dequant, pq=pq, pallas_hop=_use_pallas_hop(),
+        beam_keys=beam_keys)
 
 
 _SEARCH_EXECS: dict = {}
 _SEARCH_STATICS = ("k", "ef_buf", "metric", "max_level_cap",
-                   "n_expand", "with_stats", "visited_mode", "pallas_hop")
+                   "n_expand", "with_stats", "visited_mode", "pallas_hop",
+                   "beam_keys")
 
 
 def _hnsw_search(graph, vectors, sqnorms, queries, ef_live, hop_limit, *,
@@ -313,6 +327,7 @@ def _hnsw_search_impl(
     with_stats: bool = False,
     visited_mode: str = "buffer",
     pallas_hop: bool = False,
+    beam_keys: str = "auto",
 ):
     ef = ef_buf
     # static loop bound: every hop expands >=1 buffer entry; entries only
@@ -351,8 +366,21 @@ def _hnsw_search_impl(
         expand, scale_shift = make_packed_expand(
             packed, graph.neighbors0, queries, metric)
         ep0_dist = ep0_dist + scale_shift
+    # bf16 beam keys: the per-hop merge sort is the hop's dominant cost and
+    # runs 3.4x faster on bf16 keys (ops/beam.py init_beam) — but bf16
+    # buckets near-ties, and a true top-k member can be evicted from the
+    # buffer inside a tie bucket. Used ONLY where routing is already
+    # quantized (packed sq rows / PQ ADC: bf16 rounding is far below the
+    # codes' own noise, and extraction reranks exactly); exact-storage
+    # routing keeps f32 keys so buffer retention is exact.
+    if beam_keys == "auto":
+        key_dtype = (jnp.bfloat16 if (packed is not None or pq is not None)
+                     else jnp.float32)
+    else:
+        key_dtype = jnp.bfloat16 if beam_keys == "bf16" else jnp.float32
     state = beam_ops.init_beam(ep0, ep0_dist, ef, capacity,
-                               visited_mode=visited_mode)
+                               visited_mode=visited_mode,
+                               key_dtype=key_dtype)
     if allowed is not None:
         state = beam_ops.attach_result_buffer(state, k, allowed)
 
@@ -365,46 +393,37 @@ def _hnsw_search_impl(
                                  ef_live=ef_live, hop_limit=hop_limit,
                                  expand=expand)
 
-    # --- top-k extraction (buffer is already sorted ascending)
-    if packed is not None or pq is not None:
-        # exact rerank of the final buffer: one [Q, ef] gather (the cost of
-        # a single hop) replaces routing distances (quantized code rows for
-        # packed mode, bf16-decoded ADC for pq) with exact surrogate
-        # distances; the two-key dedup sort also collapses any duplicates
-        src_ids = state.res_ids if allowed is not None else state.buf_ids
-        safe = jnp.maximum(src_ids, 0)
-        if pq is not None:
-            # exact ADC over x̂ (f32 one-hot decode, HIGHEST contractions):
-            # matches the brute-force ADC oracle bit-for-bit in spirit —
-            # faiss IndexHNSWPQ returns exactly these values
-            from .ops.pq import adc_decode_distance
-            ex = adc_decode_distance(pq, queries, vectors[safe], metric,
-                                     exact=True)
-        else:
-            vecs = vectors[safe].astype(jnp.float32)
-            if dequant is not None:
-                vecs = dequant[0] + dequant[1] * vecs
-            dots = jnp.einsum("qd,qkd->qk", queries, vecs,
-                              preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.HIGHEST)
-            if metric == IP:
-                ex = -dots
-            else:
-                sq = jnp.einsum("qkd,qkd->qk", vecs, vecs,
-                                preferred_element_type=jnp.float32,
-                                precision=jax.lax.Precision.HIGHEST)
-                ex = sq - 2.0 * dots
-        ex = jnp.where(src_ids >= 0, ex, jnp.inf)
-        buf_ids, buf_dist = beam_ops.dedup_sorted_buffer(src_ids, ex)
-    elif allowed is not None:
-        # filtered results can contain re-encounter duplicates: collapse
-        buf_ids, buf_dist = beam_ops.dedup_sorted_buffer(
-            state.res_ids, state.res_dist)
+    # --- top-k extraction: exact rerank of the final buffer for EVERY mode.
+    # The beam ranks on routing-grade keys (bf16 merge sort; quantized code
+    # rows in packed mode; bf16-decoded ADC for pq), so one [Q, ef] gather
+    # (the cost of a single hop, once per batch) recomputes storage-grade
+    # surrogate distances — returned (D, I) are exact regardless of how the
+    # routing approximated. The two-key dedup sort also collapses any
+    # duplicates (filtered re-encounters, n_expand > 1 double-parents).
+    src_ids = state.res_ids if allowed is not None else state.buf_ids
+    safe = jnp.maximum(src_ids, 0)
+    if pq is not None:
+        # exact ADC over x̂ (f32 one-hot decode, HIGHEST contractions) —
+        # faiss IndexHNSWPQ returns exactly these values
+        from .ops.pq import adc_decode_distance
+        ex = adc_decode_distance(pq, queries, vectors[safe], metric,
+                                 exact=True)
     else:
-        buf_ids, buf_dist = state.buf_ids, state.buf_dist
-        if n_expand > 1:  # collapse rare in-buffer dups (see ops/beam.py)
-            buf_ids, buf_dist = beam_ops.dedup_sorted_buffer(
-                buf_ids, buf_dist)
+        vecs = vectors[safe].astype(jnp.float32)
+        if dequant is not None:
+            vecs = dequant[0] + dequant[1] * vecs
+        dots = jnp.einsum("qd,qkd->qk", queries, vecs,
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+        if metric == IP:
+            ex = -dots
+        else:
+            sq = jnp.einsum("qkd,qkd->qk", vecs, vecs,
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
+            ex = sq - 2.0 * dots
+    ex = jnp.where(src_ids >= 0, ex, jnp.inf)
+    buf_ids, buf_dist = beam_ops.dedup_sorted_buffer(src_ids, ex)
     out_d = buf_dist[:, :k]
     out_i = buf_ids[:, :k]
     if metric == L2:  # restore true squared L2 (surrogate dropped ||q||^2)

@@ -67,7 +67,9 @@ def test_unfiltered_unchanged(fidx):
     # (row-wise as sets: equal-distance ties may order differently)
     for r1, r2, dd1, dd2 in zip(i1, i2, d1, d2):
         assert set(r1.tolist()) == set(r2.tolist())
-        np.testing.assert_allclose(np.sort(dd1), np.sort(dd2), rtol=1e-6)
+        # rtol 1e-5: both paths rerank exactly, but over different buffer
+        # widths (ef vs k) — summation order wiggles the last ulps
+        np.testing.assert_allclose(np.sort(dd1), np.sort(dd2), rtol=1e-5)
 
 
 def test_device_array_filters(fidx):

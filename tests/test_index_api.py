@@ -92,3 +92,45 @@ def test_tune_ef_search():
     ef_hi = idx.tune_ef_search(wl.queries, target_recall=1.01,
                                set_default=False, ef_grid=(16, 32))
     assert ef_hi == 32 and idx.ef_search == ef
+
+
+def test_beam_keys_knob():
+    """beam_keys='bf16' forces the cheap merge keys on exact storage:
+    recall stays high (near-tie retention only) and returned distances are
+    still exact (the extraction rerank)."""
+    import hnsw_tpu
+    from hnsw_tpu.utils.datasets import synthetic_workload
+    from conftest import exact_knn
+    from hnsw_tpu.utils.recall import recall_at_k
+
+    wl = synthetic_workload(2000, 16, n_queries=64, metric="l2", seed=21)
+    idx = hnsw_tpu.HnswIndex(16, 8, "l2", capacity=2048, ef_construction=80)
+    idx.add(wl.base)
+    gtd, gt = exact_knn(wl.base, wl.queries, 10, "l2")
+    d, i = idx.search(wl.queries, 10, ef_search=96, beam_keys="bf16")
+    assert recall_at_k(i, gt, 10) >= 0.9
+    hit = i == gt
+    np.testing.assert_allclose(d[hit], gtd[hit], rtol=1e-4, atol=1e-4)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="beam_keys"):
+        idx.search(wl.queries, 10, beam_keys="f16")
+
+
+def test_tune_operating_point():
+    """2-D refinement: smallest ef then smallest hop cap reaching the
+    target — the chosen pair must genuinely reach it vs the exact oracle,
+    and the cap must be a real bound (<= auto cap ef + 8)."""
+    import hnsw_tpu
+    from hnsw_tpu.utils.datasets import synthetic_workload
+    from conftest import exact_knn
+    from hnsw_tpu.utils.recall import recall_at_k
+
+    wl = synthetic_workload(2000, 16, n_queries=64, metric="l2", seed=95)
+    idx = hnsw_tpu.HnswIndex(16, 8, "l2", capacity=2048, ef_construction=80)
+    idx.add(wl.base)
+    ef, hops = idx.tune_operating_point(wl.queries, target_recall=0.95,
+                                        k=10)
+    assert idx.ef_search == ef and 16 <= hops <= ef + 8
+    _, gt = exact_knn(wl.base, wl.queries, 10, "l2")
+    _, i = idx.search(wl.queries, 10, ef_search=ef, max_hops=hops)
+    assert recall_at_k(i, gt, 10) >= 0.95
