@@ -170,13 +170,29 @@ def main():
 
     # ---- build on device
     cap = 1 << (n - 1).bit_length()
+    if cap >= 1 << 24:  # config caps per-index capacity below 2^24
+        cap = n
     dtype = os.environ.get("BENCH_DTYPE", "float32")
+    kw = {}
+    big = n >= 8_000_000
+    if big:
+        # deep10m HBM budget (see benchmarks/run_all.py): trim the
+        # upper-table headroom 4x -> 2x to make room for program temps
+        kw["upper_capacity"] = 2 * cap // m
     idx = hnsw_tpu.HnswIndex(d, m, wl.metric, capacity=max(cap, 1024),
-                             ef_construction=efc, dtype=dtype)
+                             ef_construction=efc, dtype=dtype, **kw)
+    # BENCH_BEAM_KEYS=bf16 opts exact-storage routing into the cheap bf16
+    # merge keys (index-level default; recall is measured honestly per
+    # sweep point either way)
+    idx.beam_keys = os.environ.get("BENCH_BEAM_KEYS", "auto")
     t0 = time.time()
     if not idx.is_trained:  # sq8: train the quantizer on a sample
         idx.train(np.asarray(base[:262144], np.float32))
-    idx.add(base)
+    # chunk large adds: each add() stages its schedule on device, so a
+    # 10M-point single call would hold dataset + staging + graph in HBM
+    add_chunk = len(base) if not big else 1_250_000
+    for s in range(0, len(base), add_chunk):
+        idx.add(base[s:s + add_chunk])
     build_s = time.time() - t0
     _log(f"[bench] device build: {build_s:.1f}s ({n/build_s:.0f} inserts/s)")
     bl_dropped = getattr(idx._builder, "last_backlink_dropped", 0)
@@ -207,6 +223,16 @@ def main():
     # ---- ground truth (on-chip brute force) unless the dataset ships one
     if wl.ground_truth is not None:
         gt = wl.ground_truth[:, :10]
+    elif big:
+        # from the index's own device-resident vectors: no second multi-GB
+        # copy of base on device (run_all.py big-config pattern)
+        t0 = time.time()
+        _, gt = hnsw_tpu.brute_force_topk(
+            jnp.asarray(np.asarray(queries, np.float32)), idx.vectors,
+            k=10, metric=wl.metric, tile_n=16384, n_valid=n,
+            dequant=idx._sq)
+        gt = np.asarray(gt)
+        _log(f"[bench] brute-force GT: {time.time()-t0:.1f}s")
     else:
         t0 = time.time()
         flat = hnsw_tpu.FlatIndex(d, wl.metric)
@@ -444,6 +470,7 @@ def main():
         "sweep": results,
         "baseline_qps": base_qps, "baseline_source": base_src,
         "n": n, "d": d, "batch": len(queries), "dtype": dtype,
+        "beam_keys": idx.beam_keys,
     }
     _log("[bench] detail: " + json.dumps(extra))
     print(json.dumps(out), flush=True)

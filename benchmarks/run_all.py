@@ -139,31 +139,61 @@ def run_config(name: str, scale: float, out):
     # timed sweep: queries staged on device once, results stay device-side
     # during timing (tunneled D2H would dominate), best-of-reps (bench.py
     # robustness lesson from round 1)
+    idx.beam_keys = os.environ.get("BENCH_BEAM_KEYS", "auto")
     reps = int(os.environ.get("BENCH_REPS", 3))
     qs = jnp.asarray(np.asarray(wl.queries, np.float32))
-    for ef in hp["ef_sweep"]:
-        dd, ii = idx.search(qs, k=10, ef_search=ef, device_out=True)
+
+    def timed_point(ef, max_hops=0):
+        dd, ii = idx.search(qs, k=10, ef_search=ef, max_hops=max_hops,
+                            device_out=True)
         _sync_fetch(ii)
         times = []
         for _ in range(max(reps, 1)):
             t0 = time.time()
-            dd, ii = idx.search(qs, k=10, ef_search=ef, device_out=True)
+            dd, ii = idx.search(qs, k=10, ef_search=ef, max_hops=max_hops,
+                                device_out=True)
             _sync_fetch(ii)
             times.append(time.time() - t0)
-        dt = min(times)
+        return (round(recall_at_k(np.asarray(ii), gt, 10), 4),
+                round(len(wl.queries) / min(times), 1))
+
+    def emit(ef, r, qps, max_hops=0):
         rec = {
             "config": name, "workload": wl.name, "n": n, "d": d,
             "metric": wl.metric, "m": hp["m"], "ef_construction": hp["efc"],
-            "ef_search": ef,
-            "recall@10": round(recall_at_k(np.asarray(ii), gt, 10), 4),
-            "qps": round(len(wl.queries) / dt, 1),
+            "ef_search": ef, "max_hops": max_hops,
+            "recall@10": r, "qps": qps,
             "build_seconds": round(build_s, 1),
             "batch": len(wl.queries),
-            "packed_bits": packed_bits,
+            "packed_bits": packed_bits, "beam_keys": idx.beam_keys,
         }
         print(json.dumps(rec), flush=True)
         out.write(json.dumps(rec) + "\n")
         out.flush()
+
+    best = None
+    for ef in hp["ef_sweep"]:
+        r, qps = timed_point(ef)
+        emit(ef, r, qps)
+        if r >= 0.95 and best is None:
+            best = (ef, r, qps)
+
+    # refined operating point (mirrors bench.py): tune (ef, hop cap) on a
+    # probe prefix, then time the refined pair as its own results row
+    if best is not None and os.environ.get("BENCH_REFINE", "1") != "0":
+        try:
+            ef_r, hops_r = idx.tune_operating_point(
+                qs[: min(len(wl.queries), 2048)], 0.95, k=10,
+                set_default=False,
+                ef_grid=tuple(e for e in (16, 24, 32, 40, 48, 56, 64, 80,
+                                          96, 128, 192, 256, 384, 512)
+                              if e <= best[0] + 16))
+            r, qps = timed_point(ef_r, hops_r)
+            logging.info("refined op point: ef=%d hops=%d recall=%.4f "
+                         "qps=%.0f", ef_r, hops_r, r, qps)
+            emit(ef_r, r, qps, max_hops=hops_r)
+        except Exception as e:  # noqa: BLE001 — refinement is best-effort
+            logging.info("refinement failed: %r", e)
 
 
 def main():

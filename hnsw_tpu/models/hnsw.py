@@ -43,6 +43,7 @@ class HnswIndex:
         self.build_mode = build
         self.is_trained = True  # HNSWFlat is train-free (faiss parity)
         self.n_expand = 1
+        self.beam_keys = "auto"  # default merge-key dtype (see search())
 
         self._graph = self._vectors = self._sqnorms = None
         if _alloc:
@@ -427,7 +428,7 @@ class HnswIndex:
     def search(self, x: np.ndarray, k: int, *, ef_search: int | None = None,
                with_stats: bool = False, allowed: np.ndarray | None = None,
                device_out: bool = False, max_hops: int = 0,
-               use_packed: bool | None = None, beam_keys: str = "auto"):
+               use_packed: bool | None = None, beam_keys: str | None = None):
         """Batched k-NN. Returns (D [n, k] float32, I [n, k] int64) like
         faiss; I == -1 where fewer than k reachable. ``device_out=True``
         returns device arrays (D f32, I int32) without the D2H transfer —
@@ -450,10 +451,11 @@ class HnswIndex:
         tables when ``enable_packed()`` has been called; False bypasses them
         for this call; True requires them (raises if not enabled).
 
-        ``beam_keys``: "auto" (default — bf16 merge keys where routing is
-        already quantized, f32 otherwise) | "bf16" (force the 3.4x-cheaper
-        merge; near-tie buffer retention becomes approximate — returned
-        distances stay exact via the rerank) | "f32"."""
+        ``beam_keys``: "auto" (bf16 merge keys where routing is already
+        quantized, f32 otherwise) | "bf16" (force the 3.4x-cheaper merge;
+        near-tie buffer retention becomes approximate — returned distances
+        stay exact via the rerank) | "f32". None (default) uses the
+        index-level ``self.beam_keys`` attribute ("auto")."""
         if use_packed is None:
             packed = self._packed
         elif use_packed:
@@ -487,7 +489,7 @@ class HnswIndex:
             max_level_cap=self.config.max_level_cap, max_hops=max_hops,
             n_expand=self.n_expand, with_stats=with_stats, allowed=allowed,
             packed=packed, dequant=self._sq, pq=self._pq,
-            beam_keys=beam_keys)
+            beam_keys=beam_keys or self.beam_keys)
         if with_stats:
             d, i, stats = out
             if device_out:
