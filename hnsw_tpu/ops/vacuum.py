@@ -49,11 +49,10 @@ def _read_rows(raw, dequant=None, pq=None):
     return v
 
 
-@functools.partial(jax.jit, donate_argnums=(0,),
-                   static_argnames=("metric", "chunk"))
-def vacuum_level0(neighbors0: jax.Array, vectors: jax.Array,
-                  dead: jax.Array, *, metric: str = L2, chunk: int = 4096,
-                  dequant=None, pq=None) -> jax.Array:
+def _vacuum_level0_impl(neighbors0: jax.Array, vectors: jax.Array,
+                        dead: jax.Array, *, metric: str = L2,
+                        chunk: int = 4096, dequant=None, pq=None
+                        ) -> jax.Array:
     """Patch + purge the level-0 adjacency. dead: bool [capacity].
 
     Returns the new adjacency (donated in). For every live row with >= 1
@@ -116,11 +115,10 @@ def vacuum_level0(neighbors0: jax.Array, vectors: jax.Array,
     return jnp.where(dead[:, None], -1, adj)
 
 
-@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("metric",))
-def vacuum_upper(upper_neighbors: jax.Array, upper_node: jax.Array,
-                 upper_slot: jax.Array, levels: jax.Array,
-                 vectors: jax.Array, dead: jax.Array, *,
-                 metric: str = L2, dequant=None, pq=None) -> jax.Array:
+def _vacuum_upper_impl(upper_neighbors: jax.Array, upper_node: jax.Array,
+                       upper_slot: jax.Array, levels: jax.Array,
+                       vectors: jax.Array, dead: jax.Array, *,
+                       metric: str = L2, dequant=None, pq=None) -> jax.Array:
     """Same treatment for every upper level (tables are ~capacity/m rows —
     one unchunked pass per level). Slot/level maps are untouched: dead
     nodes keep their slots (never reused), only links change."""
@@ -170,6 +168,17 @@ def vacuum_upper(upper_neighbors: jax.Array, upper_node: jax.Array,
             upper, new_rows[:, None, :], l, axis=1)
 
     return jax.lax.fori_loop(0, L, level_pass, upper_neighbors)
+
+
+# jitted single-index entry points (donated in-place updates); the raw
+# _impl functions above are what ShardedHnswIndex.vacuum composes under
+# shard_map (per-shard, no collectives)
+vacuum_level0 = functools.partial(jax.jit, donate_argnums=(0,),
+                                  static_argnames=("metric", "chunk")
+                                  )(_vacuum_level0_impl)
+vacuum_upper = functools.partial(jax.jit, donate_argnums=(0,),
+                                 static_argnames=("metric",)
+                                 )(_vacuum_upper_impl)
 
 
 @jax.jit

@@ -116,6 +116,7 @@ class ShardedHnswIndex:
         # tombstones over USER ids (filtering composes in search; routing is
         # untouched, same semantics as HnswIndex.remove_ids). None == none.
         self._removed: np.ndarray | None = None
+        self._routing_clean = True  # False after remove_ids until vacuum()
         # failure detection / elastic serving (SURVEY.md §5): per-shard
         # health flags. A failed shard is masked out of the fan-out merge so
         # queries keep serving over the survivors (degraded coverage) until
@@ -511,7 +512,52 @@ class ShardedHnswIndex:
                 self.n_shards * self.config.capacity, bool)
         before = int(self._removed.sum())
         self._removed[ids] = True
+        self._routing_clean = False  # until vacuum()
         return int(self._removed.sum()) - before
+
+    def vacuum(self) -> int:
+        """Physically remove tombstoned ids from every shard's routing —
+        HnswIndex.vacuum parity, run as ONE shard_map program (per-shard
+        graph surgery is purely local, no collectives): links into dead
+        nodes are re-pruned away, dead rows cleared, per-shard entry points
+        moved to live nodes. Afterwards searches skip the tombstone filter.
+        Returns the number of nodes vacuumed."""
+        if self._removed is None or self.n_deleted == 0:
+            self._routing_clean = True
+            return 0
+        from ..ops.vacuum import (_vacuum_level0_impl, _vacuum_upper_impl,
+                                  live_entry_point)
+        cfg = self.config
+        n_dead = self.n_deleted
+        dq = None
+        if self._sq_np is not None:
+            dq = (jnp.asarray(self._sq_np[0]), jnp.asarray(self._sq_np[1]))
+        removed_dev = jnp.asarray(self._removed)
+
+        def shard_vacuum(graph, vectors, gids, removed):
+            g = _local(graph)
+            v = _local(vectors)
+            gi = gids[0]
+            dead = (gi >= 0) & removed[jnp.maximum(gi, 0)]
+            nb0 = _vacuum_level0_impl(g.neighbors0, v, dead,
+                                      metric=cfg.metric, dequant=dq)
+            up = _vacuum_upper_impl(g.upper_neighbors, g.upper_node,
+                                    g.upper_slot, g.levels, v, dead,
+                                    metric=cfg.metric, dequant=dq)
+            ep, mx = live_entry_point(g.levels, dead)
+            return _relift(g._replace(neighbors0=nb0, upper_neighbors=up,
+                                      entry_point=ep, max_level=mx))
+
+        spec = P(SHARD_AXIS)
+        fn = jax.jit(
+            jax.shard_map(shard_vacuum, mesh=self.mesh,
+                          in_specs=(spec, spec, spec, P()),
+                          out_specs=spec, check_vma=False),
+            donate_argnums=(0,))
+        self._graph = fn(self._graph, self._vectors, self._global_ids,
+                         removed_dev)
+        self._routing_clean = True
+        return int(n_dead)
 
     def _normalize_allowed(self, allowed) -> np.ndarray:
         """User id filter -> bool mask over the user-id space
@@ -561,6 +607,7 @@ class ShardedHnswIndex:
                  for b in self._builders]).encode()),
             removed=(self._removed if self._removed is not None
                      else np.zeros(0, bool)),
+            routing_clean=np.bool_(self._routing_clean),
             shard_ok=self._shard_ok,
             config_json=np.bytes_(self.config.to_json()),
             **({"sq_offset": self._sq_np[0], "sq_scale": self._sq_np[1]}
@@ -602,18 +649,29 @@ class ShardedHnswIndex:
                 b.rng.bit_generator.state = st
             if "removed" in z.files and z["removed"].size:
                 idx._removed = z["removed"].copy()
+                # pre-vacuum tombstones must keep filtering after a reload
+                idx._routing_clean = bool(z["routing_clean"]) \
+                    if "routing_clean" in z.files else False
             if "shard_ok" in z.files:
                 idx._shard_ok = z["shard_ok"].copy()
         return idx
 
     def check(self, strict: bool = True) -> list[dict]:
-        """Per-shard structural invariants (debug)."""
+        """Per-shard structural invariants (debug). Tombstoned ids are
+        exempt from liveness invariants (HnswIndex.check parity)."""
         from ..graph import check_invariants
+        gids = (np.asarray(self._global_ids)
+                if self._removed is not None else None)
         out = []
         for s in range(self.n_shards):
             g = GraphArrays(*[jnp.asarray(np.asarray(a)[s])
                               for a in self._graph])
-            out.append(check_invariants(g, self.config, strict=strict))
+            alive = None
+            if gids is not None:
+                gs = gids[s]
+                alive = ~((gs >= 0) & self._removed[np.maximum(gs, 0)])
+            out.append(check_invariants(g, self.config, strict=strict,
+                                        alive=alive))
         return out
 
     def search(self, x: np.ndarray, k: int, *, ef_search: int | None = None,
@@ -629,7 +687,8 @@ class ShardedHnswIndex:
         permit = None
         if allowed is not None:
             permit = self._normalize_allowed(allowed)
-        if self._removed is not None:
+        if self._removed is not None and not self._routing_clean:
+            # post-vacuum, dead ids are unreachable by routing — no filter
             alive = ~self._removed
             permit = alive if permit is None else (permit & alive)
         ef = int(ef_search or self.ef_search)

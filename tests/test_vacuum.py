@@ -156,6 +156,61 @@ def test_compacted_renumbers():
     assert recall_at_k(full, gt_live, 5) >= 0.9
 
 
+def test_sharded_vacuum():
+    """ShardedHnswIndex.vacuum: one shard_map program patches every shard;
+    unfiltered fan-out searches never return dead ids afterwards."""
+    from hnsw_tpu.parallel.sharded import ShardedHnswIndex, make_mesh
+
+    wl = synthetic_workload(4000, 16, n_queries=96, metric="l2", seed=17)
+    idx = ShardedHnswIndex(16, 8, "l2", mesh=make_mesh(4),
+                           capacity_per_shard=2048, ef_construction=60)
+    idx.add(wl.base)
+    rng = np.random.default_rng(1)
+    dead_ids = rng.choice(4000, 800, replace=False)
+    idx.remove_ids(dead_ids)
+    assert not idx._routing_clean
+    assert idx.vacuum() == 800
+    assert idx._routing_clean
+    # per-shard invariants hold with the alive-aware checker, and no live
+    # row references a dead id on any shard
+    for chk in idx.check(strict=True):
+        assert chk.get("links_to_dead", 0) == 0
+    alive = np.ones(4000, bool)
+    alive[dead_ids] = False
+    d, i = idx.search(wl.queries, 10, ef_search=96)
+    v = i[i >= 0]
+    assert alive[v].all(), "sharded vacuum returned a dead id"
+    live_ids = np.flatnonzero(alive)
+    _, gt_l = exact_knn(np.asarray(wl.base)[live_ids], wl.queries, 10, "l2")
+    gt_live = live_ids[gt_l]
+    assert recall_at_k(i, gt_live, 10) >= 0.85
+
+
+def test_sharded_vacuum_save_load(tmp_path):
+    from hnsw_tpu.parallel.sharded import ShardedHnswIndex, make_mesh
+
+    wl = synthetic_workload(1200, 16, n_queries=32, metric="l2", seed=23)
+    idx = ShardedHnswIndex(16, 8, "l2", mesh=make_mesh(4),
+                           capacity_per_shard=1024, ef_construction=60)
+    idx.add(wl.base)
+    idx.remove_ids(np.arange(0, 1200, 5))
+    # PRE-vacuum save keeps filtering after reload
+    p = str(tmp_path / "pre.npz")
+    idx.save(p)
+    idx2 = ShardedHnswIndex.load(p, mesh=make_mesh(4))
+    assert not idx2._routing_clean
+    _, i2 = idx2.search(wl.queries, 5, ef_search=64)
+    assert (i2[i2 >= 0] % 5 != 0).all()
+    # post-vacuum save keeps the clean flag
+    idx.vacuum()
+    p2 = str(tmp_path / "post.npz")
+    idx.save(p2)
+    idx3 = ShardedHnswIndex.load(p2, mesh=make_mesh(4))
+    assert idx3._routing_clean
+    _, i3 = idx3.search(wl.queries, 5, ef_search=64)
+    assert (i3[i3 >= 0] % 5 != 0).all()
+
+
 def test_vacuum_invalidates_packed():
     idx, wl = _built(n=1200)
     idx.enable_packed()
