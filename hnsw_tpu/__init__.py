@@ -11,7 +11,11 @@ from .graph import GraphArrays, check_invariants, load_graph, save_graph
 from .models.brute import FlatIndex
 from .models.hnsw import HnswIndex
 from .models.idmap import IdMapIndex
+from .models.pretransform import PreTransformIndex
+from .models.refine import RefineFlatIndex
 from .ops.distances import brute_force_topk
+from .ops.transforms import (NormalizationTransform, OPQMatrix, PCAMatrix,
+                             RandomRotation, VectorTransform)
 from .ops.packed import PackedNeighbors, pack_neighbors
 from .parallel.sharded import ShardedHnswIndex, make_mesh
 from .reference_impl import NumpyHnsw
@@ -21,7 +25,9 @@ __version__ = "0.1.0"
 
 __all__ = [
     "IP", "L2", "HnswConfig", "GraphArrays", "HnswIndex", "FlatIndex",
-    "IdMapIndex",
+    "IdMapIndex", "PreTransformIndex", "RefineFlatIndex",
+    "VectorTransform", "NormalizationTransform", "RandomRotation",
+    "PCAMatrix", "OPQMatrix",
     "NumpyHnsw", "ShardedHnswIndex", "make_mesh",
     "brute_force_topk", "hnsw_search", "check_invariants",
     "PackedNeighbors", "pack_neighbors",

@@ -82,12 +82,17 @@ def _assign_update(xs: jax.Array, cb: jax.Array, *, chunk: int):
 
 def train_pq(x: np.ndarray, m_sub: int, *, ksub: int = KSUB,
              iters: int = 25, seed: int = 42,
-             max_points: int = 65536, chunk: int = 8192) -> np.ndarray:
+             max_points: int = 65536, chunk: int = 8192,
+             init_cb: np.ndarray | None = None) -> np.ndarray:
     """Per-subspace k-means (faiss ``ProductQuantizer::train`` semantics:
     Lloyd iterations, ``ksub`` centroids — 256 for the faiss 8-bit default,
     16 for PQx4 fast-scan parity — training subsampled to ``max_points``).
     Deterministic given ``seed``. Returns f32 codebooks [m_sub, ksub, dsub]
-    as numpy (callers device_put / close over them)."""
+    as numpy (callers device_put / close over them).
+
+    ``init_cb`` warm-starts the codebooks (shape [m_sub, ksub, dsub]) — the
+    OPQ alternating loop re-trains with few iterations per rotation update
+    (faiss ``OPQMatrix::train`` does the same)."""
     x = np.asarray(x, np.float32)
     n, d = x.shape
     if d % m_sub:
@@ -101,10 +106,16 @@ def train_pq(x: np.ndarray, m_sub: int, *, ksub: int = KSUB,
         n = max_points
     dsub = d // m_sub
     xs_np = x.reshape(n, m_sub, dsub)
-    # init: a shared random sample of training points (faiss seeds each
-    # subquantizer from the data too)
-    cb = np.ascontiguousarray(
-        xs_np[rng.choice(n, ksub, replace=False)].transpose(1, 0, 2))
+    if init_cb is not None:
+        if init_cb.shape != (m_sub, ksub, dsub):
+            raise ValueError(f"init_cb shape {init_cb.shape} != "
+                             f"{(m_sub, ksub, dsub)}")
+        cb = np.asarray(init_cb, np.float32)
+    else:
+        # init: a shared random sample of training points (faiss seeds each
+        # subquantizer from the data too)
+        cb = np.ascontiguousarray(
+            xs_np[rng.choice(n, ksub, replace=False)].transpose(1, 0, 2))
     pad = (-n) % chunk
     xs = jnp.asarray(np.concatenate(
         [xs_np, np.zeros((pad, m_sub, dsub), np.float32)]) if pad else xs_np)
