@@ -227,6 +227,88 @@ class HnswIndex:
         finally:
             self._graph, self._vectors, self._sqnorms = g, v, s
 
+    def grow(self, capacity: int, *, upper_capacity: int = -1) -> None:
+        """Raise the preallocated ``capacity`` in place.
+
+        Device arrays are fixed-shape (SURVEY.md §7 hard-part 5: no realloc
+        on device) — this is the managed escape hatch: every capacity-sized
+        array is padded to the new size one at a time (transient HBM =
+        one array's old+new, not a second index), pinned layouts are
+        recomputed for the new shapes, and the builder's compiled programs
+        are dropped (they are shape-specialized). Contents, tombstones and
+        the level RNG are preserved: a grown index searches bit-identically
+        and continues building deterministically.
+
+        faiss note: faiss's storage grows transparently per add(); here
+        growth is an explicit O(capacity) operation by design —
+        preallocation is what lets one XLA executable serve the index for
+        its whole life."""
+        from ..config import NO_NEIGHBOR
+        cfg = self.config
+        if capacity <= cfg.capacity:
+            raise ValueError(f"grow() needs capacity > current "
+                             f"({capacity} <= {cfg.capacity})")
+        new_cfg = cfg.replace(capacity=capacity,
+                              upper_capacity=upper_capacity)
+        if new_cfg.upper_capacity < cfg.upper_capacity:
+            new_cfg = cfg.replace(capacity=capacity,
+                                  upper_capacity=cfg.upper_capacity)
+
+        def pad_rows(arr, rows, fill, fmt=None):
+            extra = rows - arr.shape[0]
+            if extra <= 0:
+                return arr
+            tail = [s for s in arr.shape[1:]]
+            fn = jax.jit(lambda a: jnp.concatenate(
+                [a, jnp.full((extra, *tail), fill, a.dtype)], 0),
+                out_shardings=fmt)
+            return fn(arr)
+
+        nb_fmt = v_fmt = None
+        if self.build_mode == "device":
+            from ..build import build_layout_formats
+            nb_fmt, v_fmt = build_layout_formats(
+                capacity, new_cfg.m0, new_cfg.dim)
+        c, u = capacity, new_cfg.upper_capacity
+        g = self._graph
+        g = g._replace(neighbors0=pad_rows(g.neighbors0, c, NO_NEIGHBOR,
+                                           nb_fmt))
+        g = g._replace(levels=pad_rows(g.levels, c, NO_NEIGHBOR),
+                       upper_slot=pad_rows(g.upper_slot, c, NO_NEIGHBOR))
+        g = g._replace(upper_node=pad_rows(g.upper_node, u, NO_NEIGHBOR),
+                       upper_neighbors=pad_rows(g.upper_neighbors, u,
+                                                NO_NEIGHBOR))
+        self._graph = g
+        self._vectors = pad_rows(self._vectors, c, 0, v_fmt)
+        self._sqnorms = pad_rows(self._sqnorms, c, 0.0)
+        if self._alive is not None:
+            self._alive = pad_rows(self._alive, c, True)
+        if self._host is not None:           # build="host": numpy arrays
+            h = self._host
+            h.cfg = h.cfg.replace(capacity=capacity,
+                                  upper_capacity=new_cfg.upper_capacity)
+            pc, pu = c - len(h.levels), u - len(h.upper_node)
+            h.vectors = np.pad(h.vectors, ((0, pc), (0, 0)))
+            h.neighbors0 = np.pad(h.neighbors0, ((0, pc), (0, 0)),
+                                  constant_values=NO_NEIGHBOR)
+            h.levels = np.pad(h.levels, (0, pc),
+                              constant_values=NO_NEIGHBOR)
+            h.upper_slot = np.pad(h.upper_slot, (0, pc),
+                                  constant_values=NO_NEIGHBOR)
+            h.upper_node = np.pad(h.upper_node, (0, pu),
+                                  constant_values=NO_NEIGHBOR)
+            h.upper_neighbors = np.pad(
+                h.upper_neighbors, ((0, pu), (0, 0), (0, 0)),
+                constant_values=NO_NEIGHBOR)
+        self.config = new_cfg
+        if self._builder is not None:
+            # keep the level RNG (determinism across grow); drop the
+            # capacity-shape-specialized programs
+            self._builder.cfg = new_cfg
+            self._builder._steps.clear()
+        # packed tables are ntotal-sized and content-derived from rows
+        # < ntotal, which a grow leaves untouched — they stay valid
+
     # -- packed serving mode (ops/packed.py) ----------------------------------
     def enable_packed(self, bits: int = 8, *, mode: str | None = None,
                       pq_m: int | None = None, pq_bits: int = 8,
