@@ -21,8 +21,12 @@ from conftest import exact_knn
 
 
 def _pq_index(n=3000, d=24, m=8, pq_m=8, metric="l2", seed=13, **kw):
+    # ONE capacity for every pq test: the jitted build/search programs are
+    # shape-specialized on capacity, so a shared value lets all tests in
+    # this module (and warm CI runs, via the persistent cache) reuse one
+    # compile set instead of one per distinct n
     wl = synthetic_workload(n, d, n_queries=128, metric=metric, seed=seed)
-    idx = hnsw_tpu.HnswIndex(d, m, metric, capacity=n + 1024, dtype="pq",
+    idx = hnsw_tpu.HnswIndex(d, m, metric, capacity=4096, dtype="pq",
                              pq_m=pq_m, ef_construction=80, **kw)
     idx.train(wl.base)
     idx.add(wl.base)
@@ -118,8 +122,8 @@ def test_pq_recall_vs_xhat_oracle(metric):
     brute-force oracle on the RECONSTRUCTIONS must be high; recall vs the
     true f32 ground truth is whatever the codes allow (same contract as
     sq8, test_sq.py)."""
-    idx, wl = _pq_index(n=3000, metric=metric)
-    xhat = idx.reconstruct_n(0, 3000)
+    idx, wl = _pq_index(n=2000, metric=metric)
+    xhat = idx.reconstruct_n(0, 2000)
     _, gt_hat = exact_knn(xhat, wl.queries, 10, metric)
     _, i_pq = idx.search(wl.queries, 10, ef_search=96)
     r_vs_hat = recall_at_k(i_pq, gt_hat, 10)
@@ -202,7 +206,7 @@ def test_pq_4bit_end_to_end():
     """pq_bits=4 (faiss PQx4 fast-scan geometry): ksub=16 codebooks,
     nibble-packed rows, same exact-over-x̂ contract."""
     wl = synthetic_workload(2000, 16, n_queries=64, metric="l2", seed=5)
-    idx = index_factory(16, "HNSW8,PQ8x4", capacity=2560,
+    idx = index_factory(16, "HNSW8,PQ8x4", capacity=2048,
                         ef_construction=60)
     assert idx.config.pq_bits == 4 and idx.config.pq_ksub == 16
     idx.train(wl.base)
@@ -224,7 +228,7 @@ def test_pq_routing_rows_on_flat_storage():
     ADC routing + exact f32 rerank — the low-memory packed configuration
     (m0 * pq_m bytes/row instead of m0 * d)."""
     wl = synthetic_workload(2500, 24, n_queries=96, metric="l2", seed=11)
-    idx = hnsw_tpu.HnswIndex(24, 8, "l2", capacity=3072,
+    idx = hnsw_tpu.HnswIndex(24, 8, "l2", capacity=4096,
                              ef_construction=80)
     idx.add(wl.base)
     _, gt = exact_knn(wl.base, wl.queries, 10, "l2")
