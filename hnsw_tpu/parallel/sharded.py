@@ -126,6 +126,9 @@ class ShardedHnswIndex:
         # shards): per-dim affine params, set by train() before any add()
         self._sq_np: tuple | None = None
         self.is_trained = not self.config.is_sq
+        # per-shard packed serving tables (enable_packed): a PackedNeighbors
+        # pytree with a leading shard dim. None == unpacked serving.
+        self._packed = None
 
     @property
     def ntotal(self) -> int:
@@ -181,6 +184,13 @@ class ShardedHnswIndex:
     def add(self, x: np.ndarray) -> None:
         """Round-robin shard assignment; user ids are insertion order."""
         cfg = self.config
+        if self._packed is not None:
+            import logging
+            logging.getLogger("hnsw_tpu").warning(
+                "add() on a packed sharded index drops the packed tables "
+                "(sharded incremental maintenance is future work) — call "
+                "enable_packed() again after adding")
+            self.disable_packed()
         x = np.ascontiguousarray(np.asarray(x, np.float32))
         if x.ndim != 2 or x.shape[1] != cfg.dim:
             raise ValueError(f"expected [n, {cfg.dim}], got {x.shape}")
@@ -319,10 +329,86 @@ class ShardedHnswIndex:
                 jnp.asarray(sc["n_upper"], i32), self._sh),
         )
 
+    # ------------------------------------------------- packed serving mode
+    @property
+    def packed_enabled(self) -> bool:
+        return self._packed is not None
+
+    def enable_packed(self, bits: int = 8) -> int:
+        """Per-shard packed neighbor-code rows (HnswIndex.enable_packed
+        parity; ops/packed.py) built as ONE shard_map program — each shard
+        assembles its own table from its local graph + vectors, zero
+        collectives. This is the Deep10M-at-scale serving configuration:
+        per-shard tables fit each chip's HBM where a monolithic table
+        cannot (e.g. 10M x 96 at 8-bit = 61 GB monolithic, but 7.7 GB per
+        v5e-8 shard).
+
+        v1 scope: sq-bit rows over flat/sq8 storage; ``add()`` and
+        ``vacuum()`` after enabling DROP the tables (re-enable after —
+        incremental sharded maintenance is future work, unlike the
+        single-chip index which maintains rows across add()).
+        Returns total packed bytes across shards."""
+        from ..ops.packed import (PackedNeighbors, _assemble_rows,
+                                  quantization_params, quantize_codes)
+        cfg = self.config
+        if cfg.is_pq:
+            raise ValueError("sharded packed serving supports flat/sq8 "
+                             "storage (pq storage is single-chip only)")
+        if bits not in (4, 8):
+            raise ValueError(f"bits must be 4 or 8, got {bits}")
+        if self._ntotal == 0:
+            raise ValueError("enable_packed() on an empty index")
+        # one STATIC row count for every shard (shard_map outputs must be
+        # shape-uniform; round-robin keeps counts within 1 of each other)
+        n_rows = max(1, int(self._counts.max()))
+        chunk = min(1 << 16, n_rows)
+        dq = None if self._sq_np is None else \
+            (jnp.asarray(self._sq_np[0]), jnp.asarray(self._sq_np[1]))
+
+        def shard_pack(graph, vectors):
+            g = _local(graph)
+            v = _local(vectors)
+            live = g.levels >= 0
+            if dq is not None and bits == 8:
+                # sq8 storage at 8 bits: stored codes ARE the routing codes
+                offset, scale = dq
+                codes_all = v
+            else:
+                vf = v.astype(jnp.float32)
+                if dq is not None:
+                    vf = dq[0] + dq[1] * vf
+                offset, scale = quantization_params(vf, live, bits)
+                codes_all = quantize_codes(vf, offset, scale, bits)
+            xhat_sq = jnp.sum(
+                (offset + scale * codes_all.astype(jnp.float32)) ** 2,
+                axis=1)
+            nbr_codes, nbr_sq = _assemble_rows(
+                g.neighbors0, codes_all, xhat_sq, bits=bits, chunk=chunk,
+                n_rows=n_rows)
+            return _relift(PackedNeighbors(nbr_codes, nbr_sq,
+                                           scale=scale, offset=offset))
+
+        spec = P(SHARD_AXIS)
+        fn = jax.jit(jax.shard_map(
+            shard_pack, mesh=self.mesh, in_specs=(spec, spec),
+            out_specs=spec, check_vma=False))
+        self._packed = fn(self._graph, self._vectors)
+        return int(self._packed.nbytes)
+
+    def disable_packed(self) -> None:
+        self._packed = None
+        # drop packed-keyed search programs (they hold table references)
+        self._searches = {k: v for k, v in self._searches.items()
+                          if not (isinstance(k, tuple) and len(k) == 5
+                                  and k[4] is not None)}
+
     # ---------------------------------------------------------------- search
     def _get_search(self, k: int, ef: int, filtered: bool = False,
                     degraded: bool = False):
-        key = (k, ef, filtered, degraded)
+        packed = self._packed
+        pkey = None if packed is None else \
+            (packed.nbr_codes.shape, str(packed.nbr_codes.dtype))
+        key = (k, ef, filtered, degraded, pkey)
         if key not in self._searches:
             cfg = self.config
             # sq8: (offset, scale) close over the program as trace-time
@@ -332,6 +418,7 @@ class ShardedHnswIndex:
 
             def fanout(graph, vectors, sqnorms, gids, queries, *rest):
                 rest = list(rest)
+                pk = rest.pop(0) if packed is not None else None
                 allowed_loc = None
                 if filtered:
                     # permit rides REPLICATED in user-id space; remap to a
@@ -339,11 +426,27 @@ class ShardedHnswIndex:
                     permit = rest.pop(0)
                     g0 = gids[0]
                     allowed_loc = (g0 >= 0) & permit[jnp.maximum(g0, 0)]
-                d, i = hnsw_search(
-                    _local(graph), vectors[0], sqnorms[0], queries,
-                    k=k, ef_search=ef, metric=cfg.metric,
-                    max_level_cap=cfg.max_level_cap, allowed=allowed_loc,
-                    dequant=dq)
+                if packed is not None:
+                    # the dispatcher probes .devices() (a tracer has none):
+                    # call the pure impl directly with hnsw_search's own
+                    # runtime-scalar conventions (ef_live, hop cap ef+8
+                    # unfiltered / converge filtered)
+                    from ..search import _hnsw_search_impl, ef_bucket
+                    efc = max(ef, k)
+                    d, i = _hnsw_search_impl(
+                        _local(graph), vectors[0], sqnorms[0], queries,
+                        jnp.asarray(efc, jnp.int32),
+                        jnp.asarray((efc + 8) if allowed_loc is None
+                                    else (1 << 30), jnp.int32),
+                        allowed_loc, _local(pk), dq, None,
+                        k=k, ef_buf=ef_bucket(efc), metric=cfg.metric,
+                        max_level_cap=cfg.max_level_cap)
+                else:
+                    d, i = hnsw_search(
+                        _local(graph), vectors[0], sqnorms[0], queries,
+                        k=k, ef_search=ef, metric=cfg.metric,
+                        max_level_cap=cfg.max_level_cap, allowed=allowed_loc,
+                        dequant=dq)
                 # local rows -> user ids before leaving the shard
                 gi = jnp.where(i >= 0, gids[0][jnp.maximum(i, 0)], -1)
                 if degraded:
@@ -366,11 +469,26 @@ class ShardedHnswIndex:
             spec = P(SHARD_AXIS)
             qspec = P(QUERY_AXIS)
             in_specs = (spec, spec, spec, spec, qspec) + \
+                ((spec,) if packed is not None else ()) + \
                 ((P(),) if filtered else ()) + ((P(),) if degraded else ())
-            self._searches[key] = jax.jit(jax.shard_map(
-                fanout, mesh=self.mesh,
-                in_specs=in_specs,
-                out_specs=(qspec, qspec), check_vma=False))
+            sm = jax.shard_map(fanout, mesh=self.mesh, in_specs=in_specs,
+                               out_specs=(qspec, qspec), check_vma=False)
+            if packed is not None and next(
+                    iter(packed.nbr_codes.devices())).platform == "tpu":
+                # pin the multi-GB tables to the layouts the pack program
+                # actually produced — an unconstrained entry could silently
+                # dispatch-relayout them (the full-copy OOM hazard; see
+                # ops/packed.py PackedNeighbors docstring)
+                from ..ops.packed import PackedNeighbors
+                in_sh = ((None,) * 5
+                         + (PackedNeighbors(packed.nbr_codes.format,
+                                            packed.nbr_sq.format,
+                                            None, None),)
+                         + ((None,) if filtered else ())
+                         + ((None,) if degraded else ()))
+                self._searches[key] = jax.jit(sm, in_shardings=in_sh)
+            else:
+                self._searches[key] = jax.jit(sm)
         return self._searches[key]
 
     # --------------------------------------- failure detection / elasticity
@@ -557,6 +675,8 @@ class ShardedHnswIndex:
         self._graph = fn(self._graph, self._vectors, self._global_ids,
                          removed_dev)
         self._routing_clean = True
+        if self._packed is not None:  # rows bake the OLD adjacency
+            self.disable_packed()
         return int(n_dead)
 
     def _normalize_allowed(self, allowed) -> np.ndarray:
@@ -701,6 +821,8 @@ class ShardedHnswIndex:
                               degraded=degraded)
         args = (self._graph, self._vectors, self._sqnorms,
                 self._global_ids, jnp.asarray(xq))
+        if self._packed is not None:
+            args += (self._packed,)
         if permit is not None:
             args += (jnp.asarray(permit),)
         if degraded:

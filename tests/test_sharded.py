@@ -200,3 +200,71 @@ def test_sharded_sq8_storage(tmp_path):
     d2, i2 = idx2.search(wl.queries, k=10, ef_search=64)
     np.testing.assert_array_equal(i, i2)
     np.testing.assert_allclose(d, d2, rtol=1e-5)
+
+
+def test_sharded_packed_serving():
+    """enable_packed(): per-shard code tables built as one shard_map
+    program; packed fan-out search matches unpacked recall (routing is
+    quantized, extraction reranks exactly)."""
+    mesh = make_mesh(n_shards=4, q_parallel=2)
+    wl = synthetic_workload(4000, 16, n_queries=128, metric="l2", seed=67)
+    idx = ShardedHnswIndex(16, 8, "l2", mesh=mesh, capacity_per_shard=2048,
+                           ef_construction=60, seed=5)
+    idx.add(wl.base)
+    _, gt = exact_knn(wl.base, wl.queries, 10, "l2")
+    d_u, i_u = idx.search(wl.queries, k=10, ef_search=96)
+    r_u = recall_at_k(i_u, gt, 10)
+    nb = idx.enable_packed(bits=8)
+    assert idx.packed_enabled
+    # table rows sized by the max shard count, stacked over shards
+    assert idx._packed.nbr_codes.shape[0] == 4
+    assert nb > 0
+    d_p, i_p = idx.search(wl.queries, k=10, ef_search=96)
+    r_p = recall_at_k(i_p, gt, 10)
+    assert r_p >= r_u - 0.02, (r_p, r_u)
+    # extraction reranks exactly: distances of agreeing ids match unpacked
+    match = i_p == i_u
+    np.testing.assert_allclose(np.asarray(d_p)[match],
+                               np.asarray(d_u)[match], rtol=1e-4, atol=1e-4)
+    # composes with deletion tombstones (filtered results, packed routing)
+    idx.remove_ids(np.arange(0, 4000, 7))
+    _, i_f = idx.search(wl.queries, k=10, ef_search=96)
+    v = i_f[i_f >= 0]
+    assert (v % 7 != 0).all()
+    # add() drops the tables (documented v1 scope) but search still works
+    idx2 = ShardedHnswIndex(16, 8, "l2", mesh=mesh, capacity_per_shard=2048,
+                            ef_construction=60, seed=5)
+    idx2.add(wl.base[:2000])
+    idx2.enable_packed()
+    idx2.add(wl.base[2000:])
+    assert not idx2.packed_enabled
+    _, i2 = idx2.search(wl.queries, k=10, ef_search=96)
+    assert recall_at_k(i2, gt, 10) >= 0.9
+    # vacuum() drops the tables too (rows bake the old adjacency)
+    idx2.enable_packed()
+    idx2.remove_ids(np.arange(100))
+    idx2.vacuum()
+    assert not idx2.packed_enabled
+
+
+def test_sharded_packed_sq8_and_4bit():
+    """Packed rows over sq8 storage (stored codes ARE routing codes at
+    8-bit) and 4-bit rows (half the bytes, coarser routing absorbed by
+    ef)."""
+    mesh = make_mesh(n_shards=4, q_parallel=2)
+    wl = synthetic_workload(2000, 16, n_queries=64, metric="l2", seed=71)
+    idx = ShardedHnswIndex(16, 8, "l2", mesh=mesh, capacity_per_shard=1024,
+                           ef_construction=60, seed=9, dtype="sq8")
+    idx.train(wl.base)
+    idx.add(wl.base)
+    _, gt = exact_knn(wl.base, wl.queries, 10, "l2")
+    _, i_u = idx.search(wl.queries, k=10, ef_search=96)
+    r_u = recall_at_k(i_u, gt, 10)
+    idx.enable_packed(bits=8)
+    _, i_p = idx.search(wl.queries, k=10, ef_search=96)
+    assert recall_at_k(i_p, gt, 10) >= r_u - 0.02
+    idx.disable_packed()
+    idx.enable_packed(bits=4)
+    assert idx._packed.nbr_codes.shape[2] == idx.config.m0 * 8  # 16/2 dims
+    _, i_4 = idx.search(wl.queries, k=10, ef_search=192)
+    assert recall_at_k(i_4, gt, 10) >= r_u - 0.05
