@@ -20,6 +20,7 @@ from .ops.packed import PackedNeighbors, pack_neighbors
 from .parallel.sharded import ShardedHnswIndex, make_mesh
 from .reference_impl import NumpyHnsw
 from .search import hnsw_search
+from .serving import Searcher
 
 __version__ = "0.1.0"
 
@@ -28,7 +29,7 @@ __all__ = [
     "IdMapIndex", "PreTransformIndex", "RefineFlatIndex",
     "VectorTransform", "NormalizationTransform", "RandomRotation",
     "PCAMatrix", "OPQMatrix",
-    "NumpyHnsw", "ShardedHnswIndex", "make_mesh",
+    "NumpyHnsw", "ShardedHnswIndex", "make_mesh", "Searcher",
     "brute_force_topk", "hnsw_search", "check_invariants",
     "PackedNeighbors", "pack_neighbors",
     "index_factory", "save_graph", "load_graph", "__version__",
