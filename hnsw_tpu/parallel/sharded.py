@@ -134,6 +134,10 @@ class ShardedHnswIndex:
     def ntotal(self) -> int:
         return self._ntotal
 
+    @property
+    def d(self) -> int:  # faiss naming; lets wrappers (PreTransformIndex,
+        return self.config.dim  # IdMapIndex, Searcher) compose with shards
+
     # ------------------------------------------------------------------ add
     def train(self, x: np.ndarray) -> None:
         """No-op for flat storage; for sq8, trains the shared per-dim

@@ -268,3 +268,42 @@ def test_sharded_packed_sq8_and_4bit():
     assert idx._packed.nbr_codes.shape[2] == idx.config.m0 * 8  # 16/2 dims
     _, i_4 = idx.search(wl.queries, k=10, ef_search=192)
     assert recall_at_k(i_4, gt, 10) >= r_u - 0.05
+
+
+def test_sharded_composes_with_wrappers():
+    """PreTransformIndex / IdMapIndex / Searcher wrap the sharded index
+    like any other (faiss composability parity)."""
+    from hnsw_tpu import (IdMapIndex, NormalizationTransform,
+                          PreTransformIndex, Searcher)
+
+    mesh = make_mesh(n_shards=4, q_parallel=2)
+    rng = np.random.default_rng(73)
+    base = (rng.standard_normal((2000, 16)) *
+            rng.uniform(0.1, 5.0, (2000, 1))).astype(np.float32)
+    queries = rng.standard_normal((64, 16)).astype(np.float32)
+
+    # cosine via L2norm + IP over the mesh
+    inner = ShardedHnswIndex(16, 8, "ip", mesh=mesh,
+                             capacity_per_shard=1024, ef_construction=60)
+    idx = PreTransformIndex(NormalizationTransform(16), inner)
+    idx.train(base)
+    idx.add(base)
+    _, i = idx.search(queries, 10, ef_search=96)
+    cos = (queries / np.linalg.norm(queries, axis=1, keepdims=True)) @ \
+        (base / np.linalg.norm(base, axis=1, keepdims=True)).T
+    gt = np.argsort(-cos, axis=1)[:, :10]
+    assert recall_at_k(np.asarray(i), gt, 10) >= 0.9
+
+    # user-id mapping over the mesh
+    inner2 = ShardedHnswIndex(16, 8, "l2", mesh=mesh,
+                              capacity_per_shard=1024, ef_construction=60)
+    im = IdMapIndex(inner2)
+    ids = np.arange(2000) * 10 + 7
+    im.add_with_ids(base, ids)
+    _, mi = im.search(base[:4], 1, ef_search=32)
+    np.testing.assert_array_equal(mi[:, 0], ids[:4])
+
+    # micro-batching front-end over the mesh
+    s = Searcher(inner2, k=5, ef_search=64, min_bucket=64)
+    d, i = s.search(base[:3])
+    assert i.shape == (3, 5) and i[0, 0] == 0
