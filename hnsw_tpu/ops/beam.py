@@ -289,6 +289,76 @@ def beam_search(
     return jax.lax.while_loop(cond, body, state)
 
 
+def beam_search_fused(
+    entry_ids: jax.Array,
+    entry_dists: jax.Array,
+    gather_neighbors,
+    distance_to,
+    *,
+    ef: int,
+    max_hops: int,
+    ef_live: jax.Array,
+    hop_limit: jax.Array,
+    expand=None,
+    interpret: bool = False,
+) -> BeamState:
+    """beam_search with the whole per-hop bookkeeping fused into ONE Pallas
+    kernel (ops/beam_kernel.py): buffer-membership dedup, top-ef merge,
+    ef_live masking and next-candidate selection run VMEM-resident on
+    transposed [ef, Q] state. Semantically equal to beam_search(n_expand=1,
+    visited_mode="buffer", allowed=None) with f32 keys, up to tie order
+    (the bitonic network is unstable among EQUAL distances).
+
+    Callers must pass Q padded to a multiple of 512 (see search.py); entry
+    ids of padding queries are -1 and come back with empty buffers.
+
+    The loop body shrinks to: adjacency gather -> distances (or the packed
+    fused expand) -> beam_update. The selection of the NEXT node to expand
+    happens inside the kernel, so the carry holds `cur` directly.
+    """
+    from .beam_kernel import beam_update
+
+    qn = entry_ids.shape[0]
+    active = entry_ids >= 0
+    buf_d = jnp.full((ef, qn), INF, jnp.float32).at[0].set(
+        jnp.where(active, entry_dists.astype(jnp.float32), INF))
+    # entry starts EXPANDED with cur = entry: identical to the legacy first
+    # iteration, which selects the only buffer entry and expands it
+    buf_p = jnp.full((ef, qn), -1, jnp.int32).at[0].set(
+        jnp.where(active, (entry_ids << 1) | 1, -1))
+    cur = jnp.where(active, entry_ids, -1)
+    hops = jnp.asarray(0, jnp.int32)
+    ndis = jnp.zeros((qn,), jnp.int32)
+
+    def cond(s):
+        buf_d, buf_p, cur, hops, ndis = s
+        return (hops < max_hops) & (hops < hop_limit) & jnp.any(cur >= 0)
+
+    def body(s):
+        buf_d, buf_p, cur, hops, ndis = s
+        step_ok = cur >= 0
+        safe = jnp.where(step_ok, cur, 0)
+        if expand is not None:
+            nbrs3, dist = expand(safe[:, None], step_ok[:, None])
+            nbrs = nbrs3.reshape(qn, -1)                  # [Q, K]
+        else:
+            nbrs = gather_neighbors(safe[:, None]).reshape(qn, -1)
+            valid = (nbrs >= 0) & step_ok[:, None]
+            dist = distance_to(nbrs, valid)
+        nbrs = jnp.where((nbrs >= 0) & step_ok[:, None], nbrs, -1)
+        buf_d2, buf_p2, cur2, nd = beam_update(
+            buf_d, buf_p, nbrs.T, dist.astype(jnp.float32).T, ef_live,
+            ef=ef, interpret=interpret)
+        return buf_d2, buf_p2, cur2, hops + 1, ndis + nd
+
+    buf_d, buf_p, cur, hops, ndis = jax.lax.while_loop(
+        cond, body, (buf_d, buf_p, cur, hops, ndis))
+    return BeamState(
+        buf_ids=(buf_p >> 1).T, buf_dist=buf_d.T,
+        buf_exp=((buf_p & 1) == 1).T,
+        visited=jnp.zeros((qn, 1), jnp.uint32), hops=hops, ndis=ndis)
+
+
 def dedup_sorted_buffer(buf_ids: jax.Array, buf_dist: jax.Array):
     """Collapse duplicate ids in a distance-sorted buffer (n_expand > 1 can
     insert the same node twice with bit-identical distances). A (dist, id)

@@ -36,9 +36,38 @@ def _use_pallas_hop() -> bool:
     return os.environ.get("HNSW_TPU_PALLAS_HOP", "") == "1"
 
 
+def _use_dist_kernel() -> bool:
+    """Pallas routing-distance kernel (ops/dist_kernel.py) on the fused
+    beam path. On by default there; HNSW_TPU_DIST_KERNEL=0 reverts the
+    in-loop contraction to the XLA einsum."""
+    import os
+    return os.environ.get("HNSW_TPU_DIST_KERNEL", "") != "0"
+
+
+def _beam_kernel_mode(vectors: jax.Array) -> str:
+    """Which beam engine to use: "fused" (Pallas beam-update kernel,
+    ops/beam_kernel.py — the TPU default), "fused-interpret" (same kernel
+    in interpret mode, for CPU-backend tests) or "legacy" (ops/beam.py
+    multi-op hop). HNSW_TPU_BEAM_KERNEL=0 forces legacy everywhere,
+    =1 forces the kernel on (interpret mode off-TPU)."""
+    import os
+
+    flag = os.environ.get("HNSW_TPU_BEAM_KERNEL", "")
+    try:
+        platform = next(iter(vectors.devices())).platform
+    except Exception:
+        platform = jax.default_backend()
+    if flag == "0":
+        return "legacy"
+    if platform == "tpu":
+        return "fused"
+    return "fused-interpret" if flag == "1" else "legacy"
+
+
 def _make_distance_fn(vectors: jax.Array, sqnorms: jax.Array, queries: jax.Array,
                       metric: str, pallas_hop: bool = False, dequant=None,
-                      pq=None):
+                      pq=None, dist_kernel: bool = False,
+                      dk_interpret: bool = False):
     """Returns distance_to(ids [Q, K], mask) -> [Q, K] surrogate distances.
 
     The gather + dot is the bandwidth-critical op (SURVEY.md §7 hard-part 3):
@@ -78,6 +107,21 @@ def _make_distance_fn(vectors: jax.Array, sqnorms: jax.Array, queries: jax.Array
     del sqnorms  # ||x||^2 is recomputed from the gathered rows: a VPU
     # reduction over data already in registers is free next to the cost of a
     # second [Q, K] scattered gather
+
+    if dist_kernel:
+        # fused level-0 path (Q padded to the kernel block): the gathered-
+        # row contraction runs in the Pallas distance kernel — measured
+        # 13.6x the XLA batched matvec at serving shape, f32-exact
+        # (ops/dist_kernel.py). Covers f32/bf16 storage and sq8 dequant.
+        from .ops.dist_kernel import gathered_vec_dist
+
+        def distance_to(ids: jax.Array, mask: jax.Array) -> jax.Array:
+            ids_safe = jnp.where(mask, ids, 0)
+            vecs = vectors[ids_safe]                       # [Q, K, d]
+            return gathered_vec_dist(vecs, qf, dequant, metric=metric,
+                                     interpret=dk_interpret)
+
+        return distance_to
 
     if dequant is not None:
         off, sc = dequant
@@ -261,13 +305,14 @@ def hnsw_search(
         max_level_cap=max_level_cap, n_expand=n_expand,
         with_stats=with_stats, visited_mode=visited_mode, allowed=allowed,
         packed=packed, dequant=dequant, pq=pq, pallas_hop=_use_pallas_hop(),
-        beam_keys=beam_keys)
+        beam_keys=beam_keys, beam_mode=_beam_kernel_mode(vectors),
+        dist_kernel=_use_dist_kernel())
 
 
 _SEARCH_EXECS: dict = {}
 _SEARCH_STATICS = ("k", "ef_buf", "metric", "max_level_cap",
                    "n_expand", "with_stats", "visited_mode", "pallas_hop",
-                   "beam_keys")
+                   "beam_keys", "beam_mode", "dist_kernel")
 
 
 def _hnsw_search(graph, vectors, sqnorms, queries, ef_live, hop_limit, *,
@@ -328,6 +373,8 @@ def _hnsw_search_impl(
     visited_mode: str = "buffer",
     pallas_hop: bool = False,
     beam_keys: str = "auto",
+    beam_mode: str = "legacy",
+    dist_kernel: bool = False,
 ):
     ef = ef_buf
     # static loop bound: every hop expands >=1 buffer entry; entries only
@@ -373,25 +420,68 @@ def _hnsw_search_impl(
     # quantized (packed sq rows / PQ ADC: bf16 rounding is far below the
     # codes' own noise, and extraction reranks exactly); exact-storage
     # routing keeps f32 keys so buffer retention is exact.
-    if beam_keys == "auto":
-        key_dtype = (jnp.bfloat16 if (packed is not None or pq is not None)
-                     else jnp.float32)
-    else:
-        key_dtype = jnp.bfloat16 if beam_keys == "bf16" else jnp.float32
-    state = beam_ops.init_beam(ep0, ep0_dist, ef, capacity,
-                               visited_mode=visited_mode,
-                               key_dtype=key_dtype)
-    if allowed is not None:
-        state = beam_ops.attach_result_buffer(state, k, allowed)
-
     def gather_l0(ids):  # [Q, T] -> [Q, T, m0]
         return graph.neighbors0[ids]
 
-    state = beam_ops.beam_search(state, gather_l0, distance_to,
-                                 max_hops=max_hops, n_expand=n_expand,
-                                 visited_mode=visited_mode, allowed=allowed,
-                                 ef_live=ef_live, hop_limit=hop_limit,
-                                 expand=expand)
+    fused = (beam_mode != "legacy" and n_expand == 1 and allowed is None
+             and visited_mode == "buffer" and not pallas_hop)
+    if fused:
+        # fused beam-update kernel (ops/beam_kernel.py): the whole per-hop
+        # bookkeeping in one VMEM-resident Pallas pass on [ef, Q]-transposed
+        # state, always with f32 keys (the kernel's merge costs the same
+        # either way, so the bf16-key speed/recall trade disappears).
+        # Queries are padded to the kernel's lane-block multiple; padded
+        # rows carry entry -1 and never expand.
+        interp = beam_mode == "fused-interpret"
+        dk = dist_kernel and pq is None
+        qp = max(512, -(-qn // 512) * 512)
+        pad = qp - qn
+        if pad:
+            queries_p = jnp.pad(queries, ((0, pad), (0, 0)))
+            ep0_p = jnp.pad(ep0, (0, pad), constant_values=-1)
+            ep0_dist_p = jnp.pad(ep0_dist, (0, pad),
+                                 constant_values=jnp.inf)
+        else:
+            queries_p, ep0_p, ep0_dist_p = queries, ep0, ep0_dist
+        distance_to_p = _make_distance_fn(
+            vectors, sqnorms, queries_p, metric, dequant=dequant, pq=pq,
+            dist_kernel=dk, dk_interpret=interp)
+        expand_p = None
+        if isinstance(packed, PackedPQ):
+            expand_p, _ = make_packed_pq_expand(
+                packed, graph.neighbors0, queries_p, metric)
+        elif packed is not None:
+            expand_p, _ = make_packed_expand(
+                packed, graph.neighbors0, queries_p, metric,
+                dist_kernel=dk, interpret=interp)
+        state = beam_ops.beam_search_fused(
+            ep0_p, ep0_dist_p, gather_l0, distance_to_p,
+            ef=ef, max_hops=max_hops, ef_live=ef_live,
+            hop_limit=hop_limit, expand=expand_p, interpret=interp)
+        if pad:
+            state = state._replace(buf_ids=state.buf_ids[:qn],
+                                   buf_dist=state.buf_dist[:qn],
+                                   buf_exp=state.buf_exp[:qn],
+                                   ndis=state.ndis[:qn])
+    else:
+        if beam_keys == "auto":
+            key_dtype = (jnp.bfloat16
+                         if (packed is not None or pq is not None)
+                         else jnp.float32)
+        else:
+            key_dtype = jnp.bfloat16 if beam_keys == "bf16" else jnp.float32
+        state = beam_ops.init_beam(ep0, ep0_dist, ef, capacity,
+                                   visited_mode=visited_mode,
+                                   key_dtype=key_dtype)
+        if allowed is not None:
+            state = beam_ops.attach_result_buffer(state, k, allowed)
+
+        state = beam_ops.beam_search(state, gather_l0, distance_to,
+                                     max_hops=max_hops, n_expand=n_expand,
+                                     visited_mode=visited_mode,
+                                     allowed=allowed,
+                                     ef_live=ef_live, hop_limit=hop_limit,
+                                     expand=expand)
 
     # --- top-k extraction: exact rerank of the final buffer for EVERY mode.
     # The beam ranks on routing-grade keys (bf16 merge sort; quantized code
