@@ -53,31 +53,31 @@ def _f32(u: jax.Array) -> jax.Array:
     return u.astype(jnp.float32)
 
 
-def _packed_dist_kernel(rows_ref, qs_ref, sq_ref, out_ref, *, k: int,
-                        d: int, bits: int, metric: str):
+def _packed_dist_kernel(rows_ref, qe_ref, qo_ref, sq_ref, out_ref, *,
+                        k: int, bits: int, metric: str):
+    """qe/qo: for bits=8, qe is the full query block [bq, d] (qo unused —
+    the wrapper passes qe twice for fixed arity); for bits=4 they are the
+    EVEN/ODD query dims [bq, db], split in the wrapper — Mosaic has no
+    lowering for a strided lane slice (``q[:, 0::2]``) inside the kernel."""
     bq = rows_ref.shape[0]
-    qsb = qs_ref[:]                                        # [bq, d] f32
+    db = qe_ref.shape[1]
     if bits == 8:
-        u = _f32(rows_ref[:].reshape(bq * k, d))           # [bq*k, d]
+        u = _f32(rows_ref[:].reshape(bq * k, db))          # [bq*k, d]
         qrep = jnp.broadcast_to(
-            qsb[:, None, :], (bq, k, d)).reshape(bq * k, d)
+            qe_ref[:][:, None, :], (bq, k, db)).reshape(bq * k, db)
         dots = jnp.sum(u * qrep, axis=1).reshape(bq, k)
     else:
         # nibble planes against even/odd query dims — no interleave:
         #   Σ_d q[d]·u[d] = Σ_b q[2b]·lo[b] + q[2b+1]·hi[b]
-        db = (d + 1) // 2
-        raw = rows_ref[:].reshape(bq * k, db)              # [bq*k, d/2] u8
-        lo = _f32(raw & jnp.uint8(0x0F))
-        hi = _f32((raw >> 4) & jnp.uint8(0x0F))
-        qe = qsb[:, 0::2]                                  # [bq, ceil(d/2)]
-        qo = qsb[:, 1::2]                                  # [bq, floor(d/2)]
-        if qo.shape[1] < db:  # odd d: pad the missing odd dim with 0
-            qo = jnp.concatenate(
-                [qo, jnp.zeros((bq, db - qo.shape[1]), jnp.float32)], 1)
+        # split in f32 (exact below 2^24): Mosaic has no u8-vector
+        # shift/and lowering ('failed to legalize arith.shrui')
+        raw = _f32(rows_ref[:].reshape(bq * k, db))        # [bq*k, d/2]
+        hi = jnp.floor(raw * 0.0625)
+        lo = raw - 16.0 * hi
         qer = jnp.broadcast_to(
-            qe[:, None, :], (bq, k, db)).reshape(bq * k, db)
+            qe_ref[:][:, None, :], (bq, k, db)).reshape(bq * k, db)
         qor = jnp.broadcast_to(
-            qo[:, None, :], (bq, k, db)).reshape(bq * k, db)
+            qo_ref[:][:, None, :], (bq, k, db)).reshape(bq * k, db)
         dots = jnp.sum(lo * qer + hi * qor, axis=1).reshape(bq, k)
     if metric == IP:
         out_ref[:] = -dots
@@ -100,21 +100,44 @@ def packed_row_dist(rows: jax.Array, qs: jax.Array, nbr_sq: jax.Array, *,
     """
     q, row_w = rows.shape
     d = qs.shape[1]
-    assert row_w == (k * d if bits == 8 else k * ((d + 1) // 2)), \
-        (row_w, k, d, bits)
+    db = d if bits == 8 else (d + 1) // 2
+    assert row_w == k * db, (row_w, k, d, bits)
+    # even/odd query-dim split for the 4-bit nibble planes happens HERE
+    # (XLA-land): Mosaic cannot lower a strided lane slice inside the kernel
+    if bits == 8:
+        qe, qo = qs, qs  # qo unused in-kernel; fixed arity
+    else:
+        qe, qo = qs[:, 0::2], qs[:, 1::2]
+        if qo.shape[1] < db:  # odd d: pad the missing odd dim with 0
+            qo = jnp.pad(qo, ((0, 0), (0, db - qo.shape[1])))
+    # Mosaic's in-kernel [bq, k*db] -> [bq*k, db] shape cast needs the lane
+    # dim (db) to be a multiple of 128 (fails at d=64/96/100 8-bit and at
+    # every d < 256 4-bit: "unsupported shape cast"). Zero-pad each
+    # candidate's code segment up to the next multiple — padded code bytes
+    # are 0 and the matching query dims are zero-padded too, so every dot
+    # is unchanged. The pad is one streaming copy of the rows (~0.1 ms at
+    # serving shape), far below the 13.6x the kernel saves.
+    dp = -(-db // 128) * 128
+    if dp != db:
+        rows = jnp.pad(rows.reshape(q, k, db),
+                       ((0, 0), (0, 0), (0, dp - db))).reshape(q, k * dp)
+        row_w = k * dp
+        qe = jnp.pad(qe, ((0, 0), (0, dp - qe.shape[1])))
+        qo = jnp.pad(qo, ((0, 0), (0, dp - qo.shape[1])))
     bq = min(bq, q)
     assert q % bq == 0, (q, bq)
     return pl.pallas_call(
-        functools.partial(_packed_dist_kernel, k=k, d=d, bits=bits,
+        functools.partial(_packed_dist_kernel, k=k, bits=bits,
                           metric=metric),
         grid=(q // bq,),
         in_specs=[pl.BlockSpec((bq, row_w), lambda i: (i, 0)),
-                  pl.BlockSpec((bq, qs.shape[1]), lambda i: (i, 0)),
+                  pl.BlockSpec((bq, qe.shape[1]), lambda i: (i, 0)),
+                  pl.BlockSpec((bq, qo.shape[1]), lambda i: (i, 0)),
                   pl.BlockSpec((bq, k), lambda i: (i, 0))],
         out_specs=pl.BlockSpec((bq, k), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((q, k), jnp.float32),
         interpret=interpret,
-    )(rows, qs, nbr_sq)
+    )(rows, qe, qo, nbr_sq)
 
 
 def _vec_dist_kernel(vecs_ref, qs_ref, off_ref, sc_ref, out_ref, *, k: int,
@@ -146,6 +169,20 @@ def gathered_vec_dist(vecs: jax.Array, qs: jax.Array, dequant=None, *,
     Q must be a multiple of bq.
     """
     q, k, d = vecs.shape
+    # same lane-alignment pad as packed_row_dist: the in-kernel
+    # [bq, k, d] -> [bq*k, d] cast needs d % 128 == 0. Padded dims are 0
+    # in vecs, qs AND the dequant affine (offset 0, scale 0 -> v stays 0),
+    # so Σv² and Σqv are unchanged.
+    dp = -(-d // 128) * 128
+    if dp != d:
+        vecs = jnp.pad(vecs, ((0, 0), (0, 0), (0, dp - d)))
+        qs = jnp.pad(qs, ((0, 0), (0, dp - d)))
+        if dequant is not None:
+            dequant = (jnp.pad(jnp.asarray(dequant[0], jnp.float32).ravel(),
+                               (0, dp - d)),
+                       jnp.pad(jnp.asarray(dequant[1], jnp.float32).ravel(),
+                               (0, dp - d)))
+        d = dp
     if bq <= 0:
         # VMEM: the block itself (bq*k*d*itemsize, double-buffered) plus
         # the kernel's f32 working set (~2 block-sized f32 arrays) must
