@@ -312,21 +312,31 @@ def beam_search_fused(
     Callers must pass Q padded to a multiple of 512 (see search.py); entry
     ids of padding queries are -1 and come back with empty buffers.
 
+    Entries may be [Q] (one entry per query) or [Q, E] (multi-seed init,
+    search.py entry_mode="seed"): columns must be distance-sorted ascending
+    per query with -1/inf marking invalid seeds, E < ef. The nearest seed
+    (column 0) starts EXPANDED with cur pointing at it — identical to the
+    legacy first iteration — while the remaining seeds sit in the buffer
+    unexpanded, exactly as if the first hop had discovered them.
+
     The loop body shrinks to: adjacency gather -> distances (or the packed
     fused expand) -> beam_update. The selection of the NEXT node to expand
     happens inside the kernel, so the carry holds `cur` directly.
     """
     from .beam_kernel import beam_update
 
-    qn = entry_ids.shape[0]
-    active = entry_ids >= 0
-    buf_d = jnp.full((ef, qn), INF, jnp.float32).at[0].set(
-        jnp.where(active, entry_dists.astype(jnp.float32), INF))
-    # entry starts EXPANDED with cur = entry: identical to the legacy first
-    # iteration, which selects the only buffer entry and expands it
-    buf_p = jnp.full((ef, qn), -1, jnp.int32).at[0].set(
-        jnp.where(active, (entry_ids << 1) | 1, -1))
-    cur = jnp.where(active, entry_ids, -1)
+    if entry_ids.ndim == 1:
+        entry_ids = entry_ids[:, None]
+        entry_dists = entry_dists[:, None]
+    qn, e = entry_ids.shape
+    assert e < ef, (e, ef)
+    active = entry_ids >= 0                                  # [Q, E]
+    col0 = jnp.arange(e, dtype=jnp.int32)[None, :] == 0
+    seed_d = jnp.where(active, entry_dists.astype(jnp.float32), INF)
+    seed_p = jnp.where(active, (entry_ids << 1) | col0.astype(jnp.int32), -1)
+    buf_d = jnp.full((ef, qn), INF, jnp.float32).at[:e].set(seed_d.T)
+    buf_p = jnp.full((ef, qn), -1, jnp.int32).at[:e].set(seed_p.T)
+    cur = jnp.where(active[:, 0], entry_ids[:, 0], -1)
     hops = jnp.asarray(0, jnp.int32)
     ndis = jnp.zeros((qn,), jnp.int32)
 

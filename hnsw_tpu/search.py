@@ -224,6 +224,96 @@ def greedy_descend(graph: GraphArrays, distance_to, entry: jax.Array,
     return cur, curd
 
 
+def _sample_seeds(graph: GraphArrays, vectors: jax.Array, queries: jax.Array,
+                  metric: str, dequant, *, n_sample: int, n_seeds: int,
+                  chunk: int = 4096):
+    """Entry-seed selection as dense MXU contractions over a strided sample
+    of the live prefix — the TPU-first replacement for the greedy
+    upper-level descent (faiss ``greedy_update_nearest``, SURVEY.md §3.1
+    hot loop #1).
+
+    The descent is pointer-chasing: each iteration gathers [Q, m] scattered
+    vector rows and pays XLA's batched-matvec cliff, ~3-4 ms x ~40+
+    iterations at 1M (measured round 3: ~170 ms of the 248 ms operating
+    point was spent OUTSIDE the level-0 loop). Scoring a strided sample of
+    S = capacity/M ids with one [Q, d] x [d, S] matmul costs ~1 ms total
+    and lands an entry of the same quality class: the expected true rank of
+    nearest-in-sample is ~ntotal/S ≈ M, the same order as the descent's
+    level-1 local minimum (level-1 nodes are themselves a random 1/M
+    subset — level assignment is independent of position, C2).
+
+    The sample is split into ``n_seeds`` equal contiguous strata and the
+    per-stratum argmin is returned — [Q, n_seeds] int32, column j the best
+    sampled id of stratum j, -1 where a stratum had no live candidate.
+    n_seeds=1 degenerates to the global argmin (entry_mode="sample");
+    larger values feed the multi-seed beam init (entry_mode="seed",
+    ops/beam.py beam_search_fused). Stratified argmins come at the SAME
+    cost as the global one (the per-chunk reduction just keeps g partial
+    minima instead of 1) and are spatially diverse by construction: each
+    stratum is an independent uniform sample of the live set.
+
+    Sampled ids are masked to inserted (``levels >= 0``), NON-ISOLATED
+    nodes (first level-0 slot >= 0): post-``vacuum()`` dead nodes keep
+    their level but have cleared adjacency rows — starting a beam there
+    would strand the query — while pre-vacuum tombstones still route
+    legally and are filtered at extraction.
+
+    Distances here are routing-grade (default-precision matmul); callers
+    re-score the returned ids exactly (and merge in the global entry point
+    as a fallback column, so the result is never worse than where the
+    descent starts even if every sampled id is masked).
+    """
+    qf = queries.astype(jnp.float32)
+    nt = jnp.maximum(graph.ntotal, 1)
+    a = jnp.arange(n_sample, dtype=jnp.int32)
+    step = nt // n_sample
+    rem = nt - step * n_sample
+    # evenly strided over [0, ntotal): a*step + floor(a*rem/S). All int32:
+    # a*rem < S^2 <= 2^30 at the S=32768 cap.
+    ids = jnp.minimum(a * step + (a * rem) // n_sample, nt - 1)
+    ok = (graph.levels[ids] >= 0) & (graph.neighbors0[ids, 0] >= 0)
+    sv = vectors[ids].astype(jnp.float32)                   # [S, d]
+    if dequant is not None:
+        sv = dequant[0] + dequant[1] * sv
+    svsq = jnp.sum(sv * sv, axis=1)                         # [S]
+    cb = min(chunk, n_sample)
+    nc = n_sample // cb
+    # g strata per scan chunk (all pow2, n_seeds >= nc enforced by callers
+    # via entry_sample_size / _seed_count)
+    assert n_seeds % nc == 0 and cb % (n_seeds // nc) == 0, \
+        (n_seeds, nc, cb)
+    g = n_seeds // nc
+    ss = cb // g
+
+    def body(_, xs):
+        c, csq, cid, cok = xs
+        dots = jnp.einsum("qd,sd->qs", qf, c,
+                          preferred_element_type=jnp.float32)
+        dist = -dots if metric == IP else csq[None, :] - 2.0 * dots
+        dist = jnp.where(cok[None, :], dist, jnp.inf)
+        dist = dist.reshape(-1, g, ss)                      # [Q, g, ss]
+        j = jnp.argmin(dist, axis=2)                        # [Q, g]
+        cd = jnp.take_along_axis(dist, j[:, :, None], axis=2)[..., 0]
+        ci = jnp.take_along_axis(
+            jnp.broadcast_to(cid.reshape(1, g, ss), dist.shape),
+            j[:, :, None], axis=2)[..., 0]
+        return None, (cd, jnp.where(jnp.isfinite(cd), ci, -1))
+
+    _, (cds, cis) = jax.lax.scan(
+        body, None,
+        (sv.reshape(nc, cb, -1), svsq.reshape(nc, cb),
+         ids.reshape(nc, cb), ok.reshape(nc, cb)))
+    # ys stacked [nc, Q, g] -> [Q, nc*g] = [Q, n_seeds]
+    return jnp.transpose(cis, (1, 0, 2)).reshape(queries.shape[0], n_seeds)
+
+
+def entry_sample_size(capacity: int) -> int:
+    """Static sample width for entry_mode="sample": the largest power of
+    two <= capacity/32 clamped to [128, 32768] — matching the ~1/M density
+    of the level-1 node set the greedy descent would have converged on."""
+    return min(32768, max(128, 1 << max(capacity // 32, 1).bit_length() - 1))
+
+
 def ef_bucket(ef: int) -> int:
     """Compiled beam-buffer width for a requested efSearch: the next power of
     two >= ef (min 32). efSearch is a RUNTIME scalar within a bucket — faiss
@@ -251,6 +341,7 @@ def hnsw_search(
     dequant=None,
     pq=None,
     beam_keys: str = "auto",
+    entry_mode: str = "auto",
 ):
     """Batched k-NN query. Returns (dists [Q, k], ids [Q, k]) sorted
     ascending; ids are -1 (dist inf) past the reachable set. With
@@ -298,21 +389,39 @@ def hnsw_search(
         hop_limit = 1 << 30  # converge: never binds before max_hops
     if beam_keys not in ("auto", "bf16", "f32"):
         raise ValueError(f"beam_keys must be auto|bf16|f32, got {beam_keys!r}")
+    if entry_mode not in ("auto", "sample", "seed", "descend"):
+        raise ValueError(
+            f"entry_mode must be auto|sample|seed|descend, got {entry_mode!r}")
+    if entry_mode == "auto":
+        # PQ storage keeps the descent: dense ADC over the sample would
+        # cost more than it saves (one-hot decode is ~7 ms per [8192, 64])
+        entry_mode = "descend" if pq is not None else "sample"
+    ef_buf = ef_bucket(ef)
+    entry_sample = entry_sample_size(vectors.shape[0])
+    # stratified seed count (static): "seed" fills ef_buf/2 buffer rows
+    # (<= 16); "sample" keeps one per scan chunk — the per-chunk argmins
+    # are free, and the exact rescore picks the global best among them
+    if entry_mode == "seed":
+        entry_seeds = min(16, ef_buf // 2)
+    else:
+        entry_seeds = max(1, entry_sample // 4096)
     return _hnsw_search(
         graph, vectors, sqnorms, queries, jnp.asarray(ef, jnp.int32),
         jnp.asarray(hop_limit, jnp.int32),
-        k=k, ef_buf=ef_bucket(ef), metric=metric,
+        k=k, ef_buf=ef_buf, metric=metric,
         max_level_cap=max_level_cap, n_expand=n_expand,
         with_stats=with_stats, visited_mode=visited_mode, allowed=allowed,
         packed=packed, dequant=dequant, pq=pq, pallas_hop=_use_pallas_hop(),
         beam_keys=beam_keys, beam_mode=_beam_kernel_mode(vectors),
-        dist_kernel=_use_dist_kernel())
+        dist_kernel=_use_dist_kernel(), entry_mode=entry_mode,
+        entry_sample=entry_sample, entry_seeds=entry_seeds)
 
 
 _SEARCH_EXECS: dict = {}
 _SEARCH_STATICS = ("k", "ef_buf", "metric", "max_level_cap",
                    "n_expand", "with_stats", "visited_mode", "pallas_hop",
-                   "beam_keys", "beam_mode", "dist_kernel")
+                   "beam_keys", "beam_mode", "dist_kernel", "entry_mode",
+                   "entry_sample", "entry_seeds")
 
 
 def _hnsw_search(graph, vectors, sqnorms, queries, ef_live, hop_limit, *,
@@ -375,6 +484,9 @@ def _hnsw_search_impl(
     beam_keys: str = "auto",
     beam_mode: str = "legacy",
     dist_kernel: bool = False,
+    entry_mode: str = "descend",
+    entry_sample: int = 0,
+    entry_seeds: int = 1,
 ):
     ef = ef_buf
     # static loop bound: every hop expands >=1 buffer entry; entries only
@@ -390,12 +502,34 @@ def _hnsw_search_impl(
                                     pallas_hop=pallas_hop, dequant=dequant,
                                     pq=pq)
 
-    # --- greedy upper-level descent from the global entry point
+    # --- entry selection: sampled dense MXU scan (default; _sample_seeds)
+    # or the faiss-style greedy upper-level descent from the global entry.
+    # ep0/ep0_dist are [Q, E]: E = 1 for sample/descend; for entry_mode
+    # "seed", E = entry_seeds + 1 distance-sorted stratified seeds that
+    # pre-fill the fused beam's buffer (ops/beam.py beam_search_fused).
     ep = jnp.broadcast_to(graph.entry_point, (qn,))
-    ep_dist = distance_to(ep[:, None], jnp.ones((qn, 1), jnp.bool_))[:, 0]
-    ep0, ep0_dist = greedy_descend(
-        graph, distance_to, ep, ep_dist,
-        jnp.zeros((qn,), jnp.int32), max_level_cap)
+    if entry_mode in ("sample", "seed") and pq is None and entry_sample > 0:
+        seeds = _sample_seeds(graph, vectors, queries, metric, dequant,
+                              n_sample=entry_sample, n_seeds=entry_seeds)
+        # seeds + the global entry point (fallback when every sampled id
+        # is masked), re-scored exactly: the beam's initial buffer keys
+        # must be on the same (HIGHEST-precision) scale as everything else
+        # drop seeds equal to ep (the buffer must not start with duplicate
+        # ids — a dup would be expanded twice, wasting a hop)
+        seeds = jnp.where(seeds == ep[:, None], -1, seeds)
+        cand = jnp.concatenate([seeds, ep[:, None]], axis=1)  # [Q, E+1]
+        valid = cand >= 0
+        cd = distance_to(jnp.where(valid, cand, 0), valid)
+        cd = jnp.where(valid, cd, jnp.inf)
+        ep0_dist, ep0 = jax.lax.sort((cd, cand), num_keys=1)
+        if entry_mode == "sample":
+            ep0, ep0_dist = ep0[:, :1], ep0_dist[:, :1]
+    else:
+        ep_dist = distance_to(ep[:, None], jnp.ones((qn, 1), jnp.bool_))[:, 0]
+        ep0, ep0_dist = greedy_descend(
+            graph, distance_to, ep, ep_dist,
+            jnp.zeros((qn,), jnp.int32), max_level_cap)
+        ep0, ep0_dist = ep0[:, None], ep0_dist[:, None]
 
     # --- level-0 beam search
     expand = None
@@ -405,14 +539,14 @@ def _hnsw_search_impl(
         # surrogate scale (shift == 0), exact rerank restores precision
         expand, scale_shift = make_packed_pq_expand(
             packed, graph.neighbors0, queries, metric)
-        ep0_dist = ep0_dist + scale_shift
+        ep0_dist = ep0_dist + jnp.expand_dims(jnp.asarray(scale_shift), -1)
     elif packed is not None:
         # packed serving mode: beam routes on quantized code-row distances;
         # the exactly-scored entry point is shifted onto the same scale
         # (ops/packed.py module docstring), exact rerank restores precision
         expand, scale_shift = make_packed_expand(
             packed, graph.neighbors0, queries, metric)
-        ep0_dist = ep0_dist + scale_shift
+        ep0_dist = ep0_dist + jnp.expand_dims(jnp.asarray(scale_shift), -1)
     # bf16 beam keys: the per-hop merge sort is the hop's dominant cost and
     # runs 3.4x faster on bf16 keys (ops/beam.py init_beam) — but bf16
     # buckets near-ties, and a true top-k member can be evicted from the
@@ -438,8 +572,8 @@ def _hnsw_search_impl(
         pad = qp - qn
         if pad:
             queries_p = jnp.pad(queries, ((0, pad), (0, 0)))
-            ep0_p = jnp.pad(ep0, (0, pad), constant_values=-1)
-            ep0_dist_p = jnp.pad(ep0_dist, (0, pad),
+            ep0_p = jnp.pad(ep0, ((0, pad), (0, 0)), constant_values=-1)
+            ep0_dist_p = jnp.pad(ep0_dist, ((0, pad), (0, 0)),
                                  constant_values=jnp.inf)
         else:
             queries_p, ep0_p, ep0_dist_p = queries, ep0, ep0_dist
@@ -470,7 +604,10 @@ def _hnsw_search_impl(
                          else jnp.float32)
         else:
             key_dtype = jnp.bfloat16 if beam_keys == "bf16" else jnp.float32
-        state = beam_ops.init_beam(ep0, ep0_dist, ef, capacity,
+        # legacy beam paths (filters / n_expand > 1 / bitmap visited /
+        # pallas_hop) seed from the single best entry — multi-seed init is
+        # a fused-path feature (entry_mode "seed" degrades gracefully here)
+        state = beam_ops.init_beam(ep0[:, 0], ep0_dist[:, 0], ef, capacity,
                                    visited_mode=visited_mode,
                                    key_dtype=key_dtype)
         if allowed is not None:
