@@ -546,8 +546,10 @@ class HnswIndex:
         faster per 8k-query batch at 1M than the descent, same entry
         quality class; hnsw_tpu.search._sample_seeds) | "seed" (same scan,
         but the beam buffer is pre-filled with the per-stratum argmins —
-        up to 16 spatially diverse seeds — so fewer hops reach the same
-        recall; fused-path feature, degrades to "sample" on legacy beam
+        up to 16 spatially diverse seeds. Measured at 1M packed: recall
+        at a fixed hop cap matches sample (+0.0003) but the seed rescore
+        costs ~6% qps, so sample stays the default; kept as an ablation
+        knob. Fused-path feature, degrades to "sample" on legacy beam
         paths) | "descend" (the faiss greedy upper-level walk) | "auto"
         (sample, except PQ storage which keeps the descent). None uses
         ``self.entry_mode`` ("auto")."""
