@@ -762,6 +762,60 @@ class HnswIndex:
             v = off + sc * v
         return v
 
+    def reconstruct_batch(self, ids: np.ndarray) -> np.ndarray:
+        """Decode arbitrary (possibly non-contiguous) ids — faiss
+        ``reconstruct_batch``. One device gather + one decode; ids may
+        repeat. Entries of -1 decode to zero rows (used by
+        ``search_and_reconstruct`` for missing results)."""
+        ids = np.asarray(ids, np.int64).reshape(-1)
+        if ((ids < -1) | (ids >= self.ntotal)).any():
+            raise IndexError("reconstruct_batch: id out of range")
+        rows = self._vectors[jnp.asarray(np.maximum(ids, 0), jnp.int32)]
+        if self.config.is_pq:
+            from ..ops.pq import decode_pq
+            v = np.asarray(decode_pq(rows, jnp.asarray(self._pq_np)),
+                           np.float32)
+        else:
+            v = np.asarray(rows, np.float32)
+            if self.config.is_sq:
+                off, sc = self._sq_np
+                v = off + sc * v
+        if (ids < 0).any():
+            v = np.array(v)  # np.asarray views of device arrays are read-only
+            v[ids < 0] = 0.0
+        return v
+
+    def search_and_reconstruct(self, x: np.ndarray, k: int, **kw):
+        """faiss ``search_and_reconstruct``: returns (D [n,k] f32,
+        I [n,k] i64, R [n,k,d] f32) where R[i,j] is the stored (decoded)
+        vector of result I[i,j], zeros where I == -1. Keyword args pass
+        through to :meth:`search`."""
+        d, i = self.search(x, k, **kw)
+        r = self.reconstruct_batch(i).reshape(len(i), k, self.config.dim)
+        return d, i, r
+
+    def merge_from(self, other: "HnswIndex") -> int:
+        """Absorb another index's live vectors into this one (faiss
+        ``Index::merge_from``; upstream IndexHNSW itself refuses it — here
+        it is a batched re-insert, so graph quality equals a fresh add()).
+        Tombstoned ids in ``other`` are skipped; ``other`` is unchanged.
+        Ids of the merged vectors are assigned contiguously from
+        ``self.ntotal``. Returns the number of vectors merged."""
+        if other.config.dim != self.config.dim:
+            raise ValueError(
+                f"merge_from: dim mismatch {other.config.dim} != "
+                f"{self.config.dim}")
+        if other.config.metric != self.config.metric:
+            raise ValueError("merge_from: metric mismatch")
+        if other.ntotal == 0:
+            return 0
+        x = other.reconstruct_n(0, other.ntotal)
+        if other._alive is not None:
+            x = x[np.asarray(other._alive[:other.ntotal])]
+        if len(x):
+            self.add(x)
+        return len(x)
+
     # -- deletion (tombstones; a capability faiss-HNSW lacks entirely) --------
     def remove_ids(self, ids: np.ndarray) -> int:
         """Tombstone ids: they stop appearing in results immediately but keep

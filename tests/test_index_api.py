@@ -134,3 +134,53 @@ def test_tune_operating_point():
     _, gt = exact_knn(wl.base, wl.queries, 10, "l2")
     _, i = idx.search(wl.queries, 10, ef_search=ef, max_hops=hops)
     assert recall_at_k(i, gt, 10) >= 0.95
+
+
+def test_reconstruct_batch_and_search_and_reconstruct(small_workload):
+    wl = small_workload
+    idx = HnswIndex(32, 8, "l2", capacity=2048, build="host",
+                    ef_construction=80, seed=3)
+    idx.add(wl.base[:800])
+
+    # arbitrary (repeating, unsorted) ids decode to the stored rows
+    ids = np.array([7, 3, 3, 799, 0, -1], np.int64)
+    r = idx.reconstruct_batch(ids)
+    np.testing.assert_allclose(r[:5], wl.base[ids[:5]], rtol=1e-6)
+    assert (r[5] == 0).all()  # -1 decodes to a zero row
+    with pytest.raises(IndexError):
+        idx.reconstruct_batch(np.array([800]))
+
+    d, i, r = idx.search_and_reconstruct(wl.queries[:20], k=5, ef_search=64)
+    assert r.shape == (20, 5, 32)
+    valid = i >= 0
+    np.testing.assert_allclose(r[valid], wl.base[i[valid]], rtol=1e-6)
+    np.testing.assert_allclose(r[~valid], 0.0)
+    # returned distances are the true metric to the reconstructed rows
+    q = np.repeat(wl.queries[:20, None, :], 5, axis=1)
+    np.testing.assert_allclose(
+        d[valid], ((q[valid] - r[valid]) ** 2).sum(-1), rtol=1e-3, atol=1e-2)
+
+
+def test_merge_from(small_workload):
+    wl = small_workload
+    a = HnswIndex(32, 8, "l2", capacity=2048, build="host",
+                  ef_construction=80, seed=3)
+    a.add(wl.base[:600])
+    b = HnswIndex(32, 8, "l2", capacity=1024, build="host",
+                  ef_construction=80, seed=5)
+    b.add(wl.base[600:1000])
+    b.remove_ids(np.arange(10))  # tombstoned rows must not be merged
+
+    assert a.merge_from(b) == 390
+    assert a.ntotal == 990
+    assert b.ntotal == 400  # other unchanged
+    # merged rows are searchable at normal quality
+    keep = np.r_[wl.base[:600], wl.base[610:1000]]
+    d, i = a.search(wl.queries, k=10, ef_search=64)
+    _, ti = exact_knn(keep, wl.queries, 10, "l2")
+    assert recall_at_k(i, ti, 10) >= 0.90
+
+    with pytest.raises(ValueError, match="dim"):
+        a.merge_from(HnswIndex(16, 8, "l2", capacity=64, build="host"))
+    with pytest.raises(ValueError, match="metric"):
+        a.merge_from(HnswIndex(32, 8, "ip", capacity=64, build="host"))
