@@ -938,6 +938,21 @@ class HnswIndex:
         save_graph(path, self._graph, self._vectors, self.config, extra,
                    extra_arrays=xarr)
 
+    def to_bytes(self) -> bytes:
+        """faiss ``serialize_index``: the full index (graph + vectors +
+        config + RNG/tombstone state) as one bytes blob — same format as
+        :meth:`save` (a compressed npz), so blobs and files interchange."""
+        import io
+        buf = io.BytesIO()
+        self.save(buf)
+        return buf.getvalue()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "HnswIndex":
+        """faiss ``deserialize_index``."""
+        import io
+        return cls.load(io.BytesIO(data))
+
     @classmethod
     def load(cls, path: str) -> "HnswIndex":
         # host-side load, then device_put straight into the pinned build
