@@ -283,3 +283,16 @@ def test_pq_rejects_host_build():
     with pytest.raises(ValueError, match="device"):
         hnsw_tpu.HnswIndex(8, 4, capacity=64, dtype="pq", pq_m=4,
                            build="host")
+
+
+def test_pq_reconstruct_batch_matches_xhat():
+    idx, wl = _pq_index()
+    ids = np.array([0, 2999, 5, 5, -1], np.int64)
+    r = idx.reconstruct_batch(ids)
+    np.testing.assert_array_equal(r[0], idx.reconstruct(0))
+    np.testing.assert_array_equal(r[1], idx.reconstruct(2999))
+    np.testing.assert_array_equal(r[2], r[3])
+    assert (r[4] == 0).all()
+    d, i, rv = idx.search_and_reconstruct(wl.queries[:8], 5, ef_search=64)
+    valid = i >= 0
+    np.testing.assert_array_equal(rv[valid], idx.reconstruct_batch(i[valid]))

@@ -153,3 +153,21 @@ def test_sq_memory_is_quarter_of_flat():
 def test_sq_rejects_host_build():
     with pytest.raises(ValueError, match="device"):
         hnsw_tpu.HnswIndex(8, 4, capacity=64, dtype="sq8", build="host")
+
+
+def test_sq_reconstruct_batch_and_search_and_reconstruct():
+    idx, wl = _sq_index()
+    ids = np.array([0, 2999, 17, 17, -1], np.int64)
+    r = idx.reconstruct_batch(ids)
+    # decode matches reconstruct_n's dequantization exactly
+    np.testing.assert_array_equal(r[0], idx.reconstruct(0))
+    np.testing.assert_array_equal(r[1], idx.reconstruct(2999))
+    np.testing.assert_array_equal(r[2], r[3])
+    assert (r[4] == 0).all()
+    # bounded sq8 error vs the true vectors
+    assert np.abs(r[:4] - wl.base[ids[:4]]).max() < 0.05 * np.ptp(wl.base)
+
+    d, i, rv = idx.search_and_reconstruct(wl.queries[:16], 5, ef_search=64)
+    valid = i >= 0
+    np.testing.assert_array_equal(rv[valid], idx.reconstruct_batch(
+        i[valid]))
