@@ -18,6 +18,7 @@ Components:
                ops/dist_kernel.py is the Pallas replacement)
   beam_kernel  the fused beam-update kernel (ops/beam_kernel.py)
 """
+import os
 import sys
 import time
 
@@ -28,7 +29,7 @@ import jax.numpy as jnp
 Q = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
 EF = int(sys.argv[2]) if len(sys.argv) > 2 else 64
 K = int(sys.argv[3]) if len(sys.argv) > 3 else 64
-ITERS = 32
+ITERS = int(os.environ.get("HOP_BENCH_ITERS", "32"))
 
 print(f"device={jax.devices()[0].platform} Q={Q} ef={EF} K={K}", flush=True)
 rng = np.random.default_rng(0)
