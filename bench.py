@@ -158,14 +158,25 @@ def main():
     dataset = os.environ.get("BENCH_DATASET", "")
     target_recall = float(os.environ.get("BENCH_TARGET_RECALL", 0.95))
 
+    # refinement probe: DISJOINT from the reported query set (VERDICT.md r3
+    # item 8) — ask the workload for nq + n_probe queries and tune only on
+    # the tail. If a real dataset ships fewer, the probe falls back to a
+    # prefix overlap and the artifact says so.
+    n_probe = int(os.environ.get("BENCH_PROBE_Q", 2048))
     if dataset:
-        wl = load_eval_workload(dataset, n_queries=nq)
+        wl = load_eval_workload(dataset, n_queries=nq + n_probe)
     else:
-        wl = synthetic_workload(n, d, n_queries=nq, metric="l2", seed=1234,
-                                name=f"sift-shaped-{n}x{d}")
-    base, queries = wl.base, wl.queries
+        wl = synthetic_workload(n, d, n_queries=nq + n_probe, metric="l2",
+                                seed=1234, name=f"sift-shaped-{n}x{d}")
+    base = wl.base
+    queries = wl.queries[:nq]
+    probe_queries = wl.queries[nq:]
+    probe_disjoint = len(probe_queries) > 0
+    if not probe_disjoint:  # dataset had <= nq queries: overlap, flagged
+        probe_queries = wl.queries[:min(len(wl.queries), n_probe)]
     n, d = base.shape
     _log(f"[bench] workload={wl.name} n={n} d={d} nq={len(queries)} "
+         f"probe_nq={len(probe_queries)} (disjoint={probe_disjoint}) "
          f"metric={wl.metric} M={m} efC={efc}")
 
     # ---- build on device
@@ -200,29 +211,38 @@ def main():
         _log(f"[bench] back-link window drops this build: {bl_dropped} "
              f"({100.0 * bl_dropped / max(n * m, 1):.4f}% of forward links)")
 
-    # ---- structural invariant pre-flight (vectorized checker, VERDICT.md
-    # r2 item 5): a corrupt graph should be caught BEFORE it sets a recorded
-    # operating point. ~30 s at 1M on one host core; BENCH_CHECK=0 skips
-    # (e.g. when the tunnel's D2H is degraded — it fetches neighbors0).
-    check_summary = None
-    if os.environ.get("BENCH_CHECK", "1") != "0":
+    # ---- structural invariant check: costs ~30 s at 1M (host-side, D2H of
+    # neighbors0), so by default it runs AFTER the parsed summary is emitted
+    # (VERDICT.md r3 Weak #1/#6: the r03 artifact timed out before printing
+    # the summary; the check's failure mode — post-build corruption — is
+    # also caught by the measured recall + packed canary, which run before
+    # the op point is recorded either way). BENCH_CHECK=pre restores the
+    # pre-flight placement; =0 skips entirely.
+    check_mode = os.environ.get("BENCH_CHECK", "post")
+
+    def run_invariant_check():
         t0 = time.time()
         try:
-            check_summary = idx.check(strict=False)
-            check_summary["seconds"] = round(time.time() - t0, 1)
-            _log(f"[bench] invariant check ({check_summary['seconds']}s): "
-                 f"{len(check_summary['errors'])} errors, "
-                 f"reciprocity0={check_summary.get('reciprocity0', 0):.3f}, "
-                 f"deg0_mean={check_summary.get('deg0_mean', 0):.1f}")
-            if check_summary["errors"]:
-                _log(f"[bench] INVARIANT ERRORS: {check_summary['errors']}")
+            cs = idx.check(strict=False)
+            cs["seconds"] = round(time.time() - t0, 1)
+            _log(f"[bench] invariant check ({cs['seconds']}s): "
+                 f"{len(cs['errors'])} errors, "
+                 f"reciprocity0={cs.get('reciprocity0', 0):.3f}, "
+                 f"deg0_mean={cs.get('deg0_mean', 0):.1f}")
+            if cs["errors"]:
+                _log(f"[bench] INVARIANT ERRORS: {cs['errors']}")
+            return cs
         except Exception as e:  # noqa: BLE001 — diagnostic must not kill bench
-            check_summary = {"errors": [f"checker crashed: {e!r}"]}
             _log(f"[bench] invariant check crashed: {e!r}")
+            return {"errors": [f"checker crashed: {e!r}"]}
+
+    check_summary = None
+    if check_mode == "pre" or check_mode == "1":
+        check_summary = run_invariant_check()
 
     # ---- ground truth (on-chip brute force) unless the dataset ships one
     if wl.ground_truth is not None:
-        gt = wl.ground_truth[:, :10]
+        gt = wl.ground_truth[:len(queries), :10]
     elif big:
         # from the index's own device-resident vectors: no second multi-GB
         # copy of base on device (run_all.py big-config pattern)
@@ -317,6 +337,12 @@ def main():
     class _PackedFellBack(Exception):
         pass
 
+    # BENCH_SWEEP=fast (default): stop as soon as the target-recall point is
+    # found — the full recall/qps frontier (BENCH_SWEEP=full) is informative
+    # but costs minutes of compile+timing the driver budget doesn't have
+    # (VERDICT.md r3 Weak #1); benchmarks/run_all.py publishes frontiers.
+    sweep_mode = os.environ.get("BENCH_SWEEP", "fast")
+
     def run_sweep():
         results = []
         chosen = None
@@ -365,6 +391,8 @@ def main():
                  f"(best of {len(times)})")
             if r >= target_recall and chosen is None:
                 chosen = results[-1]
+                if sweep_mode == "fast":
+                    break
             if r >= max(0.999, target_recall):
                 break
         return results, chosen
@@ -382,15 +410,16 @@ def main():
     # ---- operating-point refinement: both ef and the hop cap are runtime
     # scalars, and the coarse sweep leaves ~5-10% on the table (measured at
     # 1M: ef=64/auto 19.6k qps -> ef=60/hops=61 21.4k at recall 0.954).
-    # Tune on a held-out probe prefix, then TIME the refined point and keep
-    # it only if it still reaches the target on the full query set and is
-    # actually faster. BENCH_REFINE=0 disables.
+    # Tune on the DISJOINT probe split (VERDICT.md r3 item 8), then TIME the
+    # refined point and keep it only if it still reaches the target on the
+    # full reported query set and is actually faster. BENCH_REFINE=0
+    # disables.
     refined = None
     if chosen is not None and os.environ.get("BENCH_REFINE", "1") != "0":
         try:
-            nprobe = min(len(queries), 2048)
+            probe_dev = jnp.asarray(np.asarray(probe_queries, np.float32))
             ef_r, hops_r = idx.tune_operating_point(
-                queries_dev[:nprobe], target_recall, k=10, set_default=False,
+                probe_dev, target_recall, k=10, set_default=False,
                 ef_grid=tuple(e for e in (16, 24, 32, 40, 48, 56, 64, 80,
                                           96, 128, 192, 256, 384, 512)
                               if e <= chosen["ef"] + 16))
@@ -437,9 +466,21 @@ def main():
     _log(f"[bench] stats@op: ndis/query={stat_summary['ndis_per_query']:.0f} "
          f"hops/batch={stat_summary['hops_per_batch']:.0f}")
 
-    # ---- CPU single-core baseline at (close to) the same recall
-    base_qps, base_src = _cpu_baseline_qps(base, queries, gt, wl.metric, m,
-                                           efc, target_recall)
+    # ---- CPU single-core baseline: CACHED (VERDICT.md r3 item 1a — the
+    # workload is seeded and deterministic, and the from-scratch serial 1M
+    # build costs ~16 min, which is what timed out BENCH_r03). On a cache
+    # hit the ratio is real; on a miss the summary prints vs_baseline=null
+    # IMMEDIATELY and the baseline is computed + cached afterwards so the
+    # next run has it.
+    nq_cap = min(len(queries), 1000)
+    cpu_n = min(len(base), int(os.environ.get("BENCH_CPU_N", len(base))))
+    cache_key = (f"{wl.name}|M={m}|efC={efc}|target={target_recall}"
+                 f"|nq={nq_cap}|cpu_n={cpu_n}")
+    base_qps, base_src = _baseline_cache_get(cache_key)
+    baseline_cached = base_src is not None
+    if baseline_cached:
+        _log(f"[bench] cpu baseline (cached): {base_qps} qps "
+             f"[{base_src}] key={cache_key}")
     vs = (chosen["qps"] / base_qps) if (base_qps and target_reached) else None
 
     metric_s = (f"qps/chip @ recall@10>={target_recall} "
@@ -453,10 +494,29 @@ def main():
         "unit": "qps",
         "vs_baseline": round(vs, 3) if vs else None,
     }
+    # THE machine-parseable line — printed before any post-flight work so a
+    # driver timeout can no longer eat it (BENCH_r03 died rc=124 with the
+    # summary still unprinted).
+    print(json.dumps(out), flush=True)
+
+    # ---- post-summary work: diagnostics + cache fills (best-effort — a
+    # timeout here costs nothing that gates the artifact)
+    if check_mode == "post":
+        check_summary = run_invariant_check()
+    if not baseline_cached and os.environ.get("BENCH_BASELINE", "1") != "0":
+        base_qps, base_src = _cpu_baseline_qps(base, queries, gt, wl.metric,
+                                               m, efc, target_recall)
+        if base_src != "none":
+            _baseline_cache_put(cache_key, base_qps, base_src)
+        if base_qps and target_reached:
+            vs = chosen["qps"] / base_qps
+            _log(f"[bench] vs_baseline (freshly measured, cached for next "
+                 f"run): {vs:.3f}")
     extra = {
         "target_reached": target_reached,
         "recall_at_op": chosen["recall@10"], "ef_at_op": chosen["ef"],
         "max_hops_at_op": chosen.get("max_hops", 0), "refined": refined,
+        "probe_disjoint": probe_disjoint,
         "build_seconds": round(build_s, 1),
         "build_inserts_per_s": round(n / build_s, 1),
         "timing": f"best-of-{reps}, device-resident results, fetch-synced",
@@ -467,13 +527,51 @@ def main():
         "packed_canary": canary,
         "invariant_check": check_summary,
         "backlink_window_drops": bl_dropped,
-        "sweep": results,
+        "sweep": results, "sweep_mode": sweep_mode,
         "baseline_qps": base_qps, "baseline_source": base_src,
+        "baseline_cached": baseline_cached,
+        "vs_baseline_final": round(vs, 3) if vs else None,
         "n": n, "d": d, "batch": len(queries), "dtype": dtype,
         "beam_keys": idx.beam_keys,
     }
     _log("[bench] detail: " + json.dumps(extra))
-    print(json.dumps(out), flush=True)
+
+
+_BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "data", "baseline_cache.json")
+
+
+def _baseline_cache_get(key: str):
+    """(qps, source) for a cached CPU-baseline measurement, else (None,
+    None). The cache is committed alongside the repo: the baseline engine
+    is single-core deterministic C++ on a seeded workload, so the number is
+    machine-class-stable — and re-deriving it every run is what blew the
+    round-3 driver budget (BENCH_r03 rc=124)."""
+    try:
+        with open(_BASELINE_CACHE) as f:
+            ent = json.load(f).get(key)
+        if ent:
+            return ent["qps"], ent["source"] + "(cached)"
+    except Exception:  # noqa: BLE001 — absent/corrupt cache = miss
+        pass
+    return None, None
+
+
+def _baseline_cache_put(key: str, qps, source: str) -> None:
+    try:
+        data = {}
+        try:
+            with open(_BASELINE_CACHE) as f:
+                data = json.load(f)
+        except Exception:  # noqa: BLE001
+            pass
+        data[key] = {"qps": qps, "source": source}
+        os.makedirs(os.path.dirname(_BASELINE_CACHE), exist_ok=True)
+        with open(_BASELINE_CACHE, "w") as f:
+            json.dump(data, f, indent=1, sort_keys=True)
+        _log(f"[bench] baseline cached: {key} -> {qps} qps [{source}]")
+    except Exception as e:  # noqa: BLE001
+        _log(f"[bench] baseline cache write failed: {e!r}")
 
 
 def _cpu_baseline_qps(base, queries, gt, metric, m, efc, target_recall):
