@@ -312,6 +312,7 @@ class HnswIndex:
 
     # -- packed serving mode (ops/packed.py) ----------------------------------
     def enable_packed(self, bits: int = 8, *, mode: str | None = None,
+                      layout: str = "auto",
                       pq_m: int | None = None, pq_bits: int = 8,
                       train_x: np.ndarray | None = None,
                       max_bytes: int | None = None,
@@ -335,6 +336,12 @@ class HnswIndex:
             ``train_x`` — host training vectors — to avoid pulling a
             sample through the slow device->host path).
 
+        ``layout`` ("sq" rows only): "bytes" (uint8 rows), "words" (int32
+        word-packed rows — same bit pattern, gathered ~1.4x faster by the
+        TPU gather engine at serving row sizes), or "auto" (default): words
+        on TPU whenever the Pallas words kernel's tiling preconditions
+        hold, bytes otherwise.
+
         Routing is approximate either way; the final ef buffer is re-ranked
         with storage-grade distances (exact f32 / sq8 x̂ / exact ADC), so
         returned (D, I) keep full precision.
@@ -357,11 +364,30 @@ class HnswIndex:
                 raise ValueError(
                     "sq packed rows need scalar storage; pq storage packs "
                     "its own codes — use enable_packed(mode='pq')")
-            from ..ops.packed import pack_neighbors
+            from ..ops.packed import pack_neighbors, word_width
+            if layout not in ("auto", "bytes", "words"):
+                raise ValueError(f"layout must be 'auto', 'bytes' or "
+                                 f"'words', got {layout!r}")
+            if layout == "auto":
+                wp = word_width(self.config.dim, bits)
+                on_tpu = (next(iter(self._vectors.devices())).platform
+                          == "tpu")
+                # words only when (a) the kernel preconditions hold (wp |
+                # 128 and candidate groups tile m0) — otherwise the words
+                # fallback path unpacks per hop, slower than bytes+kernel —
+                # and (b) the segment pad to a 128-divisor word count
+                # inflates row bytes <= 25% (the ~1.4x gather win would
+                # drown in extra traffic past that; e.g. d=96 8-bit pads
+                # 24 -> 32 words = +33%, keep bytes there)
+                vals = wp * (32 // bits)
+                layout = ("words" if on_tpu and wp
+                          and self.config.m0 % (128 // wp) == 0
+                          and vals * 4 <= self.config.dim * 5
+                          else "bytes")
             self._packed = pack_neighbors(
                 self._graph.neighbors0, self._vectors, self._graph.levels,
                 bits=bits, max_bytes=max_bytes, n_rows=n_rows, chunk=chunk,
-                dequant=self._sq)
+                dequant=self._sq, layout=layout)
         else:
             from ..ops.packed import pack_pq_neighbors
             cb, codes, pq_bits = self._route_codebooks(
@@ -369,10 +395,13 @@ class HnswIndex:
             self._packed = pack_pq_neighbors(
                 self._graph.neighbors0, codes, cb, pq_bits=pq_bits,
                 max_bytes=max_bytes, n_rows=n_rows, chunk=chunk)
-        # remembered for incremental-era full rebuilds (_refresh_packed)
-        self._packed_opts = dict(bits=bits, mode=mode, pq_m=pq_m,
-                                 pq_bits=pq_bits, max_bytes=max_bytes,
-                                 reserve=reserve, chunk=chunk)
+        # remembered for incremental-era full rebuilds (_refresh_packed);
+        # layout is the RESOLVED one (auto decided above) so a rebuild
+        # reproduces the same table format
+        self._packed_opts = dict(bits=bits, mode=mode, layout=layout,
+                                 pq_m=pq_m, pq_bits=pq_bits,
+                                 max_bytes=max_bytes, reserve=reserve,
+                                 chunk=chunk)
         return self._packed.nbytes
 
     def _route_codebooks(self, pq_m, pq_bits, train_x):
@@ -429,8 +458,10 @@ class HnswIndex:
             opts = dict(bits=(8 if is_pq_rows else
                               packed.bits_for(self.config.dim,
                                               self.config.m0)),
-                        mode=("pq" if is_pq_rows else "sq"), pq_m=None,
-                        pq_bits=8, max_bytes=None, reserve=0, chunk=1 << 16)
+                        mode=("pq" if is_pq_rows else "sq"),
+                        layout=("auto" if is_pq_rows else packed.layout),
+                        pq_m=None, pq_bits=8, max_bytes=None, reserve=0,
+                        chunk=1 << 16)
         n = self.ntotal
         try:
             # routing codes of the NEW vectors (pq rows over non-pq

@@ -140,6 +140,105 @@ def packed_row_dist(rows: jax.Array, qs: jax.Array, nbr_sq: jax.Array, *,
     )(rows, qe, qo, nbr_sq)
 
 
+def _words_dist_kernel(words_ref, qq_ref, s_ref, out_ref, *, k: int,
+                       wp: int, bits: int, g: int):
+    """Dot products from int32 word-packed code rows (ops/packed.py "words"
+    layout). The words block [bq, k*wp] lane-splits to [bq*k/g, 128] (each
+    128-lane row holds g = 128/wp whole candidate segments — word_width
+    guarantees wp | 128 and the caller guarantees g | k, so segments never
+    straddle rows). Each of the 32/bits byte/nibble planes is shifted+masked
+    out and multiplied against the matching pre-tiled query plane; the final
+    per-candidate reduction over the wp lanes of each segment is one
+    [rr, 128] x [128, gp] MXU matmul with the 0/1 segment-selector S."""
+    bq = words_ref.shape[0]
+    vpw = 32 // bits
+    rr = bq * k // g                    # rows after the 128-lane reshape
+    rep = rr // bq                      # segment-rows per query
+    w = words_ref[:].reshape(rr, 128)
+    mask = (1 << bits) - 1
+    acc = jnp.zeros((rr, 128), jnp.float32)
+    for j in range(vpw):
+        # arithmetic shift sign-extends the wrapped high byte; the mask
+        # strips it (pack_words stores the exact low-32-bit pattern)
+        p = ((w >> (bits * j)) & mask).astype(jnp.float32)
+        # plane j lives at the j-th 128-lane slice of the flattened qq
+        # block (a static 128-aligned lane slice — Mosaic-safe, unlike a
+        # 3-D ref index)
+        qj = qq_ref[:, j * 128:(j + 1) * 128]          # [bq, 128]
+        qrep = jnp.broadcast_to(
+            qj[:, None, :], (bq, rep, 128)).reshape(rr, 128)
+        acc = acc + p * qrep
+    out_ref[:] = jax.lax.dot(acc, s_ref[:],
+                             precision=jax.lax.Precision.HIGHEST,
+                             preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "wp"))
+def words_query_planes(qs: jax.Array, *, bits: int, wp: int) -> jax.Array:
+    """Pre-tiled query planes for ``packed_row_dist_words``: f32
+    [Q, (32/bits)*128], plane j at lanes [j*128, (j+1)*128) with lane
+    offset L = qs_pad[:, vpw*(L%wp) + j] — i.e. the query dim that
+    multiplies byte/nibble j of word L%wp in a candidate segment
+    (pack_words packs value v_j at bits [bits*j, bits*(j+1)) of word
+    v // vpw, little-endian). Flattened 2-D so the kernel reads plane j as
+    a static 128-aligned lane slice. Computed ONCE per search call
+    (outside the hop loop) by make_packed_expand; per-hop cost is just the
+    re-read."""
+    q, d = qs.shape
+    vpw = 32 // bits
+    g = 128 // wp
+    pad = wp * vpw - d
+    qp = jnp.pad(qs, ((0, 0), (0, pad))) if pad else qs
+    planes = jnp.stack([qp[:, j::vpw] for j in range(vpw)], axis=1)
+    return jnp.tile(planes, (1, 1, g)).reshape(q, vpw * 128)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "wp", "bits", "bq",
+                                             "interpret"))
+def packed_row_dist_words(words: jax.Array, qq: jax.Array, *, k: int,
+                          wp: int, bits: int, bq: int = 256,
+                          interpret: bool = False) -> jax.Array:
+    """Routing dot products Σ_d q[d]·code[d] from word-packed rows.
+
+    words int32 [Q, k*wp] (k-major: candidate j's ``wp`` words at
+    [j*wp, (j+1)*wp), 32/bits code values per word — ops/packed.py
+    pack_words); qq f32 [Q, (32/bits)*128] from ``words_query_planes``
+    (the pre-scaled query, plane-split and G-tiled). Returns f32 [Q, k] dots
+    — the caller applies the metric algebra (−dots for IP, nbr_sq − 2·dots
+    for L2) in XLA-land where it fuses into the following beam update.
+
+    Same contraction as ``packed_row_dist`` but the rows travel as int32:
+    the v5e gather engine moves 8 KB rows ~1.4x faster as int32 than as
+    uint8 (scripts/rowgather_probe.py), which matters because the row
+    gather feeding this kernel is 70% of the production hop.
+    """
+    q, row_w = words.shape
+    assert row_w == k * wp, (row_w, k, wp)
+    g = 128 // wp
+    assert wp * g == 128 and k % g == 0, (wp, g, k)
+    vpw = 32 // bits
+    gp = max(8, g)
+    # 0/1 segment selector: column c sums the wp lanes of segment c
+    s = (jnp.arange(128, dtype=jnp.int32)[:, None] // wp
+         == jnp.arange(gp, dtype=jnp.int32)[None, :]).astype(jnp.float32)
+    bq = min(bq, q)
+    assert q % bq == 0, (q, bq)
+    rr_blk = bq * k // g
+    dots = pl.pallas_call(
+        functools.partial(_words_dist_kernel, k=k, wp=wp, bits=bits, g=g),
+        grid=(q // bq,),
+        in_specs=[pl.BlockSpec((bq, row_w), lambda i: (i, 0)),
+                  pl.BlockSpec((bq, vpw * 128), lambda i: (i, 0)),
+                  pl.BlockSpec((128, gp), lambda i: (0, 0))],
+        out_specs=pl.BlockSpec((rr_blk, gp), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((q * k // g, gp), jnp.float32),
+        interpret=interpret,
+    )(words, qq, s)
+    # out row r = query (r // (k/g)) segment-group (r % (k/g)); col c < g is
+    # the c-th candidate of the group -> [:, :g] reshape is candidate-order
+    return dots[:, :g].reshape(q, k)
+
+
 def _vec_dist_kernel(vecs_ref, qs_ref, off_ref, sc_ref, out_ref, *, k: int,
                      d: int, metric: str, dequant: bool):
     bq = vecs_ref.shape[0]

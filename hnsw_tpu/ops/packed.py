@@ -69,7 +69,8 @@ class PackedNeighbors(NamedTuple):
     search._hnsw_search and update_packed_rows), so no dispatch relayout
     can ever occur."""
 
-    nbr_codes: jax.Array  # uint8 [rows, row_w], row_w = m0 * d * bits // 8
+    nbr_codes: jax.Array  # uint8 [rows, row_w] (bytes layout) or int32
+    #                       [rows, m0 * word_width(d, bits)] (words layout)
     nbr_sq: jax.Array     # f32   [rows, m0]   ||x̂||² of each neighbor
     scale: jax.Array      # f32   [d]   per-dim dequant scale
     offset: jax.Array     # f32   [d]   per-dim dequant offset
@@ -77,6 +78,15 @@ class PackedNeighbors(NamedTuple):
     @property
     def row_w(self) -> int:
         return self.nbr_codes.shape[1]
+
+    @property
+    def layout(self) -> str:
+        """"bytes" (uint8 rows, the portable layout) or "words" (int32
+        word-packed rows — measured 8 KB u8 rows gather at ~108 ns/row on
+        v5e while the same bytes as int32 gather at ~78 ns/row, so the
+        production hop's dominant fetch is ~1.4x faster as words;
+        scripts/gather_knee_probe.py)."""
+        return "words" if self.nbr_codes.dtype == jnp.int32 else "bytes"
 
     def formats(self) -> "PackedNeighbors":
         """in_shardings subtree pinning the two big tables to the layouts
@@ -93,6 +103,19 @@ class PackedNeighbors(NamedTuple):
 
     def bits_for(self, d: int, m0: int) -> int:
         w = self.row_w
+        if self.layout == "words":
+            w8, w4 = word_width(d, 8), word_width(d, 4)
+            if w8 and w8 == w4 and w in (m0 * w8,):
+                raise ValueError(
+                    f"word-packed row width {w} is ambiguous at d={d} "
+                    f"(8- and 4-bit segments both pad to {w8} words)")
+            if w8 and w == m0 * w8:
+                return 8
+            if w4 and w == m0 * w4:
+                return 4
+            raise ValueError(
+                f"word-packed row width {w} matches neither 8-bit "
+                f"({m0 * w8}) nor 4-bit ({m0 * w4}) at d={d}")
         if w == m0 * d:
             return 8
         if w == m0 * ((d + 1) // 2):
@@ -204,21 +227,69 @@ def unpack_nibbles(rows: jax.Array, d: int) -> jax.Array:
     return out[..., :d]
 
 
-@functools.partial(jax.jit, static_argnames=("bits", "chunk", "n_rows"))
-def _assemble_rows(neighbors0: jax.Array, codes_all: jax.Array,
-                   sq_all: jax.Array, *, bits: int, chunk: int,
-                   n_rows: int):
-    """Gather each node's neighbor codes/sqnorms into contiguous rows,
-    chunked through a fori_loop so the [rows, m0, d] intermediate never
-    materializes (the output alone is GBs).
+def word_width(d: int, bits: int) -> int:
+    """int32 words per candidate segment in the "words" layout: ceil(d /
+    (32/bits)) padded up to a divisor of 128 (so the distance kernel's
+    [bq, k*W] -> [bq*k/G, 128] lane split never straddles candidates).
+    Returns 0 when a segment would exceed 128 words (d too large — callers
+    fall back to the bytes layout)."""
+    w = -(-d // (32 // bits))
+    for wp in (1, 2, 4, 8, 16, 32, 64, 128):
+        if wp >= w:
+            return wp
+    return 0
+
+
+def pack_words(codes: jax.Array, bits: int) -> jax.Array:
+    """[..., d] code values (< 2^bits) -> int32 [..., word_width(d, bits)],
+    32/bits values per word, value j at bit [bits*j, bits*(j+1)) — i.e. the
+    little-endian byte/nibble order of the bytes layout, so a words table
+    holds the exact bit pattern of the corresponding u8 rows (no device
+    bitcast anywhere: u8 bitcast_convert_type hangs the axon backend).
+    Int32 products deliberately wrap (two's complement) for the high byte;
+    the consumer masks after an arithmetic shift, so values round-trip."""
+    d = codes.shape[-1]
+    vpw = 32 // bits
+    wp = word_width(d, bits)
+    if not wp:
+        raise ValueError(f"word layout unsupported at d={d}, bits={bits} "
+                         f"(candidate segment exceeds 128 words)")
+    pad = wp * vpw - d
+    c = codes.astype(jnp.int32)
+    if pad:
+        c = jnp.pad(c, [(0, 0)] * (c.ndim - 1) + [(0, pad)])
+    c = c.reshape(*c.shape[:-1], wp, vpw)
+    weights = jnp.left_shift(
+        jnp.int32(1), bits * jnp.arange(vpw, dtype=jnp.int32))
+    return jnp.sum(c * weights, axis=-1, dtype=jnp.int32)
+
+
+def unpack_words(words: jax.Array, bits: int, d: int) -> jax.Array:
+    """int32 [..., word_width(d, bits)] -> [..., d] code values (uint8).
+    Inverse of ``pack_words`` (arithmetic shift + mask strips the sign
+    extension of wrapped high bytes)."""
+    vpw = 32 // bits
+    mask = (1 << bits) - 1
+    planes = [(words >> (bits * j)) & mask for j in range(vpw)]
+    out = jnp.stack(planes, axis=-1).reshape(*words.shape[:-1], -1)
+    return out[..., :d].astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "n_rows"))
+def _assemble_payload_rows(neighbors0: jax.Array, payload: jax.Array,
+                           sq_all: jax.Array, *, chunk: int, n_rows: int):
+    """Gather each node's per-neighbor payload rows + sqnorms into
+    contiguous fat rows, chunked through a fori_loop so the [rows, m0,
+    w_node] intermediate never materializes (the output alone is GBs).
+    ``payload`` is the per-node encoded row segment ([cap, w_node]; u8
+    codes / nibble-packed bytes / int32 words — layout-agnostic here).
 
     The output keeps the chunk-aligned padded row count (<= chunk-1 junk
     rows, never gathered since node ids < n_rows): trimming with a final
     slice would COPY the multi-GB table — the pad-then-slice transient is
     what used to push a 1M x 128 pack from 9 GB to HBM exhaustion."""
     m0 = neighbors0.shape[1]
-    d = codes_all.shape[1]
-    row_w = m0 * d if bits == 8 else m0 * ((d + 1) // 2)
+    row_w = m0 * payload.shape[1]
     n_chunks = (n_rows + chunk - 1) // chunk
     pad_cap = n_chunks * chunk
     nb = jnp.pad(neighbors0[:n_rows], ((0, pad_cap - n_rows), (0, 0)))
@@ -229,17 +300,14 @@ def _assemble_rows(neighbors0: jax.Array, codes_all: jax.Array,
     # buffer once the table crosses 2^31 bytes (1M x 128d x 8-bit = 8.6 GB;
     # regression-tested across the boundary in
     # tests/test_packed.py::test_big_table_boundary)
-    out_codes = jnp.zeros((pad_cap, row_w), jnp.uint8)
+    out_codes = jnp.zeros((pad_cap, row_w), payload.dtype)
     out_sq = jnp.zeros((pad_cap, m0), jnp.float32)
 
     def body(i, carry):
         oc, osq = carry
         rows = jax.lax.dynamic_slice(nb, (i * chunk, 0), (chunk, m0))
         safe = jnp.maximum(rows, 0)
-        nc = codes_all[safe]                      # [chunk, m0, d] uint8
-        if bits == 4:
-            nc = _pack_nibbles(nc)
-        nc = nc.reshape(chunk, row_w)
+        nc = payload[safe].reshape(chunk, row_w)  # [chunk, m0 * w_node]
         nsq = sq_all[safe]                        # [chunk, m0]
         oc = jax.lax.dynamic_update_slice(oc, nc, (i * chunk, 0))
         osq = jax.lax.dynamic_update_slice(osq, nsq, (i * chunk, 0))
@@ -248,12 +316,23 @@ def _assemble_rows(neighbors0: jax.Array, codes_all: jax.Array,
     return jax.lax.fori_loop(0, n_chunks, body, (out_codes, out_sq))
 
 
+def _assemble_rows(neighbors0: jax.Array, codes_all: jax.Array,
+                   sq_all: jax.Array, *, bits: int, chunk: int,
+                   n_rows: int):
+    """Bytes-layout row assembly from raw [cap, d] codes (kept as the
+    sharded builder's entry point; single-chip packing goes through
+    ``pack_neighbors`` which picks the payload encoding per layout)."""
+    payload = _pack_nibbles(codes_all) if bits == 4 else codes_all
+    return _assemble_payload_rows(neighbors0, payload, sq_all,
+                                  chunk=chunk, n_rows=n_rows)
+
+
 def pack_neighbors(neighbors0: jax.Array, vectors: jax.Array,
                    levels: jax.Array, *, bits: int = 8,
                    max_bytes: int | None = None,
                    n_rows: int | None = None,
                    chunk: int = 1 << 16,
-                   dequant=None) -> PackedNeighbors:
+                   dequant=None, layout: str = "bytes") -> PackedNeighbors:
     """Build the packed serving tables from a finished graph.
 
     bits: 8 (one byte/dim) or 4 (two dims/byte, half the row bytes — use for
@@ -265,18 +344,33 @@ def pack_neighbors(neighbors0: jax.Array, vectors: jax.Array,
     dequant: (offset, scale) when ``vectors`` are sq8 storage codes. At
     bits=8 the stored codes ARE the routing codes (shared params, zero
     re-quantization); at bits=4 values are dequantized and re-trained.
+    layout: "bytes" (uint8 rows) or "words" (int32 word-packed rows, the
+    TPU serving default — the v5e gather engine moves 8 KB rows ~1.4x
+    faster as int32 than as uint8; each candidate segment is zero-padded
+    to ``word_width(d, bits)`` words so the Pallas consumer's lane split
+    stays candidate-aligned).
     """
     if bits not in (4, 8):
         raise ValueError(f"bits must be 4 or 8, got {bits}")
+    if layout not in ("bytes", "words"):
+        raise ValueError(f"layout must be 'bytes' or 'words', got {layout!r}")
     cap, m0 = neighbors0.shape
     d = vectors.shape[1]
     n_rows = cap if n_rows is None else max(1, min(int(n_rows), cap))
-    row_w = m0 * d if bits == 8 else m0 * ((d + 1) // 2)
-    # budget against what _assemble_rows actually allocates: the
+    if layout == "words":
+        wp = word_width(d, bits)
+        if not wp:
+            raise ValueError(f"layout='words' unsupported at d={d}, "
+                             f"bits={bits} (segment > 128 words); "
+                             f"use layout='bytes'")
+        row_bytes = m0 * wp * 4
+    else:
+        row_bytes = m0 * d if bits == 8 else m0 * ((d + 1) // 2)
+    # budget against what _assemble_payload_rows actually allocates: the
     # chunk-aligned padded row count (up to chunk-1 rows beyond n_rows)
     eff_chunk = min(chunk, n_rows)
     pad_cap = ((n_rows + eff_chunk - 1) // eff_chunk) * eff_chunk
-    total = pad_cap * row_w + pad_cap * m0 * 4
+    total = pad_cap * row_bytes + pad_cap * m0 * 4
     if max_bytes is not None and total > max_bytes:
         raise ValueError(
             f"packed table needs {total / 1e9:.1f} GB "
@@ -297,9 +391,15 @@ def pack_neighbors(neighbors0: jax.Array, vectors: jax.Array,
         codes_all = quantize_codes(vectors, offset, scale, bits)  # [cap, d]
     xhat_sq = jnp.sum(
         (offset + scale * codes_all.astype(jnp.float32)) ** 2, axis=1)
-    nbr_codes, nbr_sq = _assemble_rows(neighbors0, codes_all, xhat_sq,
-                                       bits=bits, chunk=eff_chunk,
-                                       n_rows=n_rows)
+    if layout == "words":
+        payload = pack_words(codes_all, bits)
+    elif bits == 4:
+        payload = _pack_nibbles(codes_all)
+    else:
+        payload = codes_all
+    nbr_codes, nbr_sq = _assemble_payload_rows(neighbors0, payload, xhat_sq,
+                                               chunk=eff_chunk,
+                                               n_rows=n_rows)
     return PackedNeighbors(nbr_codes, nbr_sq, scale=scale, offset=offset)
 
 
@@ -308,8 +408,6 @@ def _update_packed_rows_impl(nbr_codes: jax.Array, nbr_sq: jax.Array,
                              offset: jax.Array, scale: jax.Array,
                              ids: jax.Array, dequant=None, *, bits: int):
     m0 = neighbors0.shape[1]
-    d = vectors.shape[1]
-    row_w = m0 * d if bits == 8 else m0 * ((d + 1) // 2)
     u = ids.shape[0]
     ok = ids >= 0
     safe = jnp.maximum(ids, 0)
@@ -319,9 +417,11 @@ def _update_packed_rows_impl(nbr_codes: jax.Array, nbr_sq: jax.Array,
         nv = dequant[0] + dequant[1] * nv
     nc = quantize_codes(nv, offset, scale, bits)
     nsq = jnp.sum((offset + scale * nc.astype(jnp.float32)) ** 2, axis=-1)
-    if bits == 4:
+    if nbr_codes.dtype == jnp.int32:                   # words layout
+        nc = pack_words(nc, bits)
+    elif bits == 4:
         nc = _pack_nibbles(nc)
-    upd = nc.reshape(u, row_w)
+    upd = nc.reshape(u, nbr_codes.shape[1])
     n_rows = nbr_sq.shape[0]
     tgt = jnp.where(ok, safe, n_rows)  # n_rows == OOB -> dropped (pad ids)
     nbr_codes = nbr_codes.at[tgt].set(upd, mode="drop")
@@ -428,7 +528,19 @@ def make_packed_expand(packed: PackedNeighbors, neighbors0: jax.Array,
     m0 = neighbors0.shape[1]
     d = qf.shape[1]
     row_w = packed.row_w
-    bits = 8 if row_w == m0 * d else 4
+    words = packed.layout == "words"
+    bits = packed.bits_for(d, m0)
+    wp = row_w // m0 if words else 0
+    # words kernel preconditions: candidate groups of G = 128/wp must tile
+    # m0 exactly (else fall back to the unpack path below)
+    words_kernel_ok = words and wp and m0 % max(128 // wp, 1) == 0
+    qq = None
+    if words_kernel_ok and dist_kernel:
+        # query byte/nibble planes, precomputed OUTSIDE the hop loop (this
+        # runs at closure-creation = trace level, so it is loop-invariant
+        # in the compiled program)
+        from .dist_kernel import words_query_planes
+        qq = words_query_planes(qs, bits=bits, wp=wp)
 
     def expand(cur: jax.Array, step_ok: jax.Array):
         safe = jnp.where(step_ok, cur, 0)
@@ -440,13 +552,23 @@ def make_packed_expand(packed: PackedNeighbors, neighbors0: jax.Array,
         # row_w=8192 — see PackedNeighbors / VERDICT.md r2 Weak #1)
         rows = packed.nbr_codes.at[safe.reshape(-1)].get(
             mode="clip")                              # [Q*T, row_w]
-        if dist_kernel and t == 1:
+        if words and dist_kernel and t == 1 and words_kernel_ok:
+            from .dist_kernel import packed_row_dist_words
+            dots = packed_row_dist_words(rows, qq, k=m0, wp=wp, bits=bits,
+                                         interpret=interpret)
+            if metric == IP:
+                return nbrs, -dots                    # [Q, m0]
+            sq = packed.nbr_sq[safe].reshape(qn, m0)
+            return nbrs, sq - 2.0 * dots
+        if not words and dist_kernel and t == 1:
             from .dist_kernel import packed_row_dist
             sq = packed.nbr_sq[safe].reshape(qn, m0)
             dist = packed_row_dist(rows, qs, sq, k=m0, bits=bits,
                                    metric=metric, interpret=interpret)
             return nbrs, dist                         # [Q, m0]
-        if bits == 8:
+        if words:
+            u = unpack_words(rows.reshape(qn, t, m0, wp), bits, d)
+        elif bits == 8:
             u = rows.reshape(qn, t, m0, d)
         else:
             u = unpack_nibbles(rows.reshape(qn, t, m0, -1), d)
