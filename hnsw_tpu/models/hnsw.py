@@ -796,8 +796,9 @@ class HnswIndex:
     def reconstruct_batch(self, ids: np.ndarray) -> np.ndarray:
         """Decode arbitrary (possibly non-contiguous) ids — faiss
         ``reconstruct_batch``. One device gather + one decode; ids may
-        repeat. Entries of -1 decode to zero rows (used by
-        ``search_and_reconstruct`` for missing results)."""
+        repeat. Entries of -1 decode to zero rows
+        (``search_and_reconstruct`` remaps those to NaN for faiss parity).
+        """
         ids = np.asarray(ids, np.int64).reshape(-1)
         if ((ids < -1) | (ids >= self.ntotal)).any():
             raise IndexError("reconstruct_batch: id out of range")
@@ -819,11 +820,19 @@ class HnswIndex:
     def search_and_reconstruct(self, x: np.ndarray, k: int, **kw):
         """faiss ``search_and_reconstruct``: returns (D [n,k] f32,
         I [n,k] i64, R [n,k,d] f32) where R[i,j] is the stored (decoded)
-        vector of result I[i,j], zeros where I == -1. Keyword args pass
-        through to :meth:`search`."""
-        d, i = self.search(x, k, **kw)
+        vector of result I[i,j], NaN rows where I == -1 (faiss memsets
+        missing rows to 0xff = NaN; a zero row would be ambiguous with a
+        genuinely stored zero vector). Keyword args pass through to
+        :meth:`search`; with ``with_stats=True`` returns (D, I, R, stats).
+        """
+        out = self.search(x, k, **kw)
+        d, i = out[0], out[1]
         r = self.reconstruct_batch(i).reshape(len(i), k, self.config.dim)
-        return d, i, r
+        missing = np.asarray(i) < 0
+        if missing.any():
+            r = np.array(r)  # reconstruct_batch may return a shared buffer
+            r[missing] = np.nan
+        return (d, i, r, *out[2:])
 
     def merge_from(self, other: "HnswIndex") -> int:
         """Absorb another index's live vectors into this one (faiss

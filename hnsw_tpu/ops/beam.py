@@ -330,7 +330,16 @@ def beam_search_fused(
         entry_dists = entry_dists[:, None]
     qn, e = entry_ids.shape
     assert e < ef, (e, ef)
-    active = entry_ids >= 0                                  # [Q, E]
+    # cap the seed count by the RUNTIME ef: the buffer width ef is a pow-2
+    # bucket (>= 32), so at small ef_search (e.g. ef=k=10 in the 32
+    # bucket) the static seed rows could outnumber the live buffer —
+    # those rows would be wiped by the first beam_update's ef_live mask
+    # anyway, but candidates deduped against a wiped seed row in that
+    # same first hop would be dropped for the hop (ADVICE r3). Masking
+    # the tail seeds here keeps init and mask consistent at no recompile
+    # (ef_live is traced); column 0 always survives (ef_live >= 1).
+    active = (entry_ids >= 0) & (
+        jnp.arange(e, dtype=jnp.int32)[None, :] < ef_live)   # [Q, E]
     col0 = jnp.arange(e, dtype=jnp.int32)[None, :] == 0
     seed_d = jnp.where(active, entry_dists.astype(jnp.float32), INF)
     seed_p = jnp.where(active, (entry_ids << 1) | col0.astype(jnp.int32), -1)

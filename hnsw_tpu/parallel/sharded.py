@@ -338,7 +338,7 @@ class ShardedHnswIndex:
     def packed_enabled(self) -> bool:
         return self._packed is not None
 
-    def enable_packed(self, bits: int = 8) -> int:
+    def enable_packed(self, bits: int = 8, *, layout: str = "auto") -> int:
         """Per-shard packed neighbor-code rows (HnswIndex.enable_packed
         parity; ops/packed.py) built as ONE shard_map program — each shard
         assembles its own table from its local graph + vectors, zero
@@ -351,17 +351,34 @@ class ShardedHnswIndex:
         ``vacuum()`` after enabling DROP the tables (re-enable after —
         incremental sharded maintenance is future work, unlike the
         single-chip index which maintains rows across add()).
+        ``layout``: 'bytes' | 'words' | 'auto' (HnswIndex.enable_packed
+        semantics — int32 word-packed rows gather ~1.4x faster on TPU).
         Returns total packed bytes across shards."""
-        from ..ops.packed import (PackedNeighbors, _assemble_rows,
-                                  quantization_params, quantize_codes)
+        from ..ops.packed import (PackedNeighbors, _assemble_payload_rows,
+                                  _pack_nibbles, pack_words,
+                                  quantization_params, quantize_codes,
+                                  word_width)
         cfg = self.config
         if cfg.is_pq:
             raise ValueError("sharded packed serving supports flat/sq8 "
                              "storage (pq storage is single-chip only)")
         if bits not in (4, 8):
             raise ValueError(f"bits must be 4 or 8, got {bits}")
+        if layout not in ("auto", "bytes", "words"):
+            raise ValueError(f"layout must be 'auto', 'bytes' or 'words', "
+                             f"got {layout!r}")
         if self._ntotal == 0:
             raise ValueError("enable_packed() on an empty index")
+        if layout == "auto":
+            # same rule as HnswIndex.enable_packed: words on TPU when the
+            # Pallas words kernel's tiling preconditions hold and segment
+            # padding inflates rows <= 25%
+            wp = word_width(cfg.dim, bits)
+            on_tpu = any(d.platform == "tpu" for d in self.mesh.devices.flat)
+            layout = ("words" if on_tpu and wp
+                      and cfg.m0 % (128 // wp) == 0
+                      and wp * (32 // bits) * 4 <= cfg.dim * 5
+                      else "bytes")
         # one STATIC row count for every shard (shard_map outputs must be
         # shape-uniform; round-robin keeps counts within 1 of each other)
         n_rows = max(1, int(self._counts.max()))
@@ -386,9 +403,14 @@ class ShardedHnswIndex:
             xhat_sq = jnp.sum(
                 (offset + scale * codes_all.astype(jnp.float32)) ** 2,
                 axis=1)
-            nbr_codes, nbr_sq = _assemble_rows(
-                g.neighbors0, codes_all, xhat_sq, bits=bits, chunk=chunk,
-                n_rows=n_rows)
+            if layout == "words":
+                payload = pack_words(codes_all, bits)
+            elif bits == 4:
+                payload = _pack_nibbles(codes_all)
+            else:
+                payload = codes_all
+            nbr_codes, nbr_sq = _assemble_payload_rows(
+                g.neighbors0, payload, xhat_sq, chunk=chunk, n_rows=n_rows)
             return _relift(PackedNeighbors(nbr_codes, nbr_sq,
                                            scale=scale, offset=offset))
 

@@ -522,6 +522,19 @@ def _hnsw_search_impl(
         cd = distance_to(jnp.where(valid, cand, 0), valid)
         cd = jnp.where(valid, cd, jnp.inf)
         ep0_dist, ep0 = jax.lax.sort((cd, cand), num_keys=1)
+        # adjacent-dup mask (same trick as dedup_sorted_buffer): when
+        # ntotal < n_sample the stratified sample repeats ids, and two
+        # strata can argmin the same node — a dup seed would pre-fill two
+        # buffer slots and waste a re-expansion hop (ADVICE r3)
+        dup = jnp.concatenate(
+            [jnp.zeros((qn, 1), bool),
+             ep0[:, 1:] == ep0[:, :-1]], axis=1) & (ep0 >= 0)
+        if ep0.shape[1] > 2:  # E+1 <= 2 cannot hold a post-sort dup pair
+            ep0 = jnp.where(dup, -1, ep0)
+            ep0_dist = jnp.where(dup, jnp.inf, ep0_dist)
+            # restore ascending order (masked slots sink to the tail) —
+            # the fused beam's initial buffer must stay distance-sorted
+            ep0_dist, ep0 = jax.lax.sort((ep0_dist, ep0), num_keys=1)
         if entry_mode == "sample":
             ep0, ep0_dist = ep0[:, :1], ep0_dist[:, :1]
     else:

@@ -213,3 +213,35 @@ def test_pq_auto_keeps_descend(wl):
     d2, i2 = idx.search(wl.queries[:32], 10, ef_search=64,
                         entry_mode="descend")
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_seed_mode_small_ef(built, wl):
+    """ef_search below the seed count (ef=10 in the 32-wide bucket used to
+    place 17 seed rows): tail seeds must be masked at init by the runtime
+    ef — not wiped by the first beam_update while silently dropping the
+    first hop's candidates that deduped against them (ADVICE r3). Recall
+    must track sample mode at the same small ef."""
+    idx, gt = built
+    d_s, i_s = idx.search(wl.queries, 10, ef_search=10, entry_mode="seed")
+    _, i_p = idx.search(wl.queries, 10, ef_search=10, entry_mode="sample")
+    r_s = recall_at_k(i_s, gt, 10)
+    r_p = recall_at_k(i_p, gt, 10)
+    assert r_s >= r_p - 0.02, (r_s, r_p)
+    # determinism unchanged
+    d2, i2 = idx.search(wl.queries, 10, ef_search=10, entry_mode="seed")
+    np.testing.assert_array_equal(i_s, i2)
+
+
+def test_seed_dedup_sparse_index(wl):
+    """ntotal < entry sample size: strided sampling repeats ids, so
+    adjacent strata can emit the SAME seed — duplicates must be masked
+    before the buffer init (search.py adjacent-dup mask, ADVICE r3).
+    Functional check: tiny index, seed mode returns valid deduped ids."""
+    idx = hnsw_tpu.HnswIndex(32, 16, "l2", capacity=4096,
+                             ef_construction=60)
+    idx.add(wl.base[:50])   # far fewer than the 128-min sample
+    d, i = idx.search(wl.base[:8], 10, ef_search=32, entry_mode="seed")
+    np.testing.assert_array_equal(i[:, 0], np.arange(8))  # self-query
+    for row in np.asarray(i):
+        live = row[row >= 0]
+        assert len(np.unique(live)) == len(live), row  # no dup results

@@ -154,11 +154,28 @@ def test_reconstruct_batch_and_search_and_reconstruct(small_workload):
     assert r.shape == (20, 5, 32)
     valid = i >= 0
     np.testing.assert_allclose(r[valid], wl.base[i[valid]], rtol=1e-6)
-    np.testing.assert_allclose(r[~valid], 0.0)
+    assert np.isnan(r[~valid]).all()  # faiss fills missing rows with NaN
     # returned distances are the true metric to the reconstructed rows
     q = np.repeat(wl.queries[:20, None, :], 5, axis=1)
     np.testing.assert_allclose(
         d[valid], ((q[valid] - r[valid]) ** 2).sum(-1), rtol=1e-3, atol=1e-2)
+
+    # with_stats flows through **kw: 4-tuple, same (D, I, R) (ADVICE r3)
+    d2, i2, r2, stats = idx.search_and_reconstruct(
+        wl.queries[:20], k=5, ef_search=64, with_stats=True)
+    np.testing.assert_array_equal(i2, i)
+    np.testing.assert_allclose(d2, d, rtol=1e-6)
+    assert (np.asarray(stats.ndis) > 0).all()
+
+    # k > reachable: missing rows come back NaN, not ambiguous zeros
+    tiny = HnswIndex(32, 8, "l2", capacity=64, build="host", seed=3)
+    tiny.add(wl.base[:3])
+    _, it, rt = tiny.search_and_reconstruct(wl.queries[:4], k=5,
+                                            ef_search=16)
+    assert (it == -1).any()
+    assert np.isnan(rt[it == -1]).all()
+    np.testing.assert_allclose(rt[it >= 0],
+                               wl.base[it[it >= 0]], rtol=1e-6)
 
 
 def test_merge_from(small_workload):

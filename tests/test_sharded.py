@@ -307,3 +307,25 @@ def test_sharded_composes_with_wrappers():
     s = Searcher(inner2, k=5, ef_search=64, min_bucket=64)
     d, i = s.search(base[:3])
     assert i.shape == (3, 5) and i[0, 0] == 0
+
+
+def test_sharded_packed_words_layout_parity():
+    """Per-shard packed tables in the int32 'words' layout must return
+    results identical to the 'bytes' layout (same code values, faster
+    wheels on TPU — ops/packed.py pack_words)."""
+    mesh = make_mesh(n_shards=4, q_parallel=2)
+    wl = synthetic_workload(3000, 16, n_queries=96, metric="l2", seed=68)
+    idx = ShardedHnswIndex(16, 8, "l2", mesh=mesh, capacity_per_shard=1024,
+                           ef_construction=60, seed=5)
+    idx.add(wl.base)
+    idx.enable_packed(bits=8, layout="bytes")
+    assert str(idx._packed.nbr_codes.dtype) == "uint8"
+    d_b, i_b = idx.search(wl.queries, k=10, ef_search=64)
+    idx.enable_packed(bits=8, layout="words")
+    assert str(idx._packed.nbr_codes.dtype) == "int32"
+    d_w, i_w = idx.search(wl.queries, k=10, ef_search=64)
+    np.testing.assert_array_equal(i_b, i_w)
+    np.testing.assert_allclose(d_b, d_w, rtol=1e-5, atol=1e-5)
+    # auto on the CPU mesh resolves to bytes
+    idx.enable_packed(bits=8)
+    assert str(idx._packed.nbr_codes.dtype) == "uint8"
