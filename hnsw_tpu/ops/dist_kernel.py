@@ -265,7 +265,9 @@ def gathered_vec_dist(vecs: jax.Array, qs: jax.Array, dequant=None, *,
     (offset [d], scale [d])); qs f32 [Q, d]. Returns f32 [Q, k]:
     ``Σv²−2Σqv`` (L2 surrogate) or ``−Σqv`` (IP), f32-exact — the in-loop
     replacement for the einsum-with-HIGHEST pair in search._make_distance_fn.
-    Q must be a multiple of bq.
+    Q not a multiple of the block size is zero-padded (a streaming copy of
+    the operands — callers on hot paths should keep Q block-aligned, e.g.
+    the fused beam's 512-padded batches).
     """
     q, k, d = vecs.shape
     # same lane-alignment pad as packed_row_dist: the in-kernel
@@ -290,7 +292,12 @@ def gathered_vec_dist(vecs: jax.Array, qs: jax.Array, dequant=None, *,
         bq = max(8, min(512, (1 << 18) // max(k * d, 1)))
         bq = 1 << (bq.bit_length() - 1)
     bq = min(bq, q)
-    assert q % bq == 0, (q, bq)
+    qn = q
+    pad = (-q) % bq
+    if pad:
+        vecs = jnp.pad(vecs, ((0, pad), (0, 0), (0, 0)))
+        qs = jnp.pad(qs, ((0, pad), (0, 0)))
+        q = q + pad
     has_dq = dequant is not None
     if has_dq:
         off = jnp.asarray(dequant[0], jnp.float32).reshape(1, d)
@@ -298,7 +305,7 @@ def gathered_vec_dist(vecs: jax.Array, qs: jax.Array, dequant=None, *,
     else:  # fixed arity: pass identity affine, branch is static
         off = jnp.zeros((1, d), jnp.float32)
         sc = jnp.ones((1, d), jnp.float32)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_vec_dist_kernel, k=k, d=d, metric=metric,
                           dequant=has_dq),
         grid=(q // bq,),
@@ -310,3 +317,4 @@ def gathered_vec_dist(vecs: jax.Array, qs: jax.Array, dequant=None, *,
         out_shape=jax.ShapeDtypeStruct((q, k), jnp.float32),
         interpret=interpret,
     )(vecs, qs, off, sc)
+    return out[:qn] if pad else out

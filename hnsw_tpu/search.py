@@ -498,9 +498,20 @@ def _hnsw_search_impl(
     capacity = vectors.shape[0]
     queries = queries.astype(jnp.float32)
 
+    # fused-path flags, decided up front: the Pallas distance kernel then
+    # also serves the ONE-SHOT exact contractions outside the hop loop —
+    # the entry-seed rescore and the [Q, ef] extraction rerank — which are
+    # the same gathered-row batched matvec XLA has no good lowering for
+    # (each costs a hop's worth of einsum time per batch otherwise)
+    fused = (beam_mode != "legacy" and n_expand == 1 and allowed is None
+             and visited_mode == "buffer" and not pallas_hop)
+    interp = beam_mode == "fused-interpret"
+    dk = dist_kernel and pq is None and fused
+
     distance_to = _make_distance_fn(vectors, sqnorms, queries, metric,
                                     pallas_hop=pallas_hop, dequant=dequant,
-                                    pq=pq)
+                                    pq=pq, dist_kernel=dk,
+                                    dk_interpret=interp)
 
     # --- entry selection: sampled dense MXU scan (default; _sample_seeds)
     # or the faiss-style greedy upper-level descent from the global entry.
@@ -570,8 +581,6 @@ def _hnsw_search_impl(
     def gather_l0(ids):  # [Q, T] -> [Q, T, m0]
         return graph.neighbors0[ids]
 
-    fused = (beam_mode != "legacy" and n_expand == 1 and allowed is None
-             and visited_mode == "buffer" and not pallas_hop)
     if fused:
         # fused beam-update kernel (ops/beam_kernel.py): the whole per-hop
         # bookkeeping in one VMEM-resident Pallas pass on [ef, Q]-transposed
@@ -579,8 +588,6 @@ def _hnsw_search_impl(
         # either way, so the bf16-key speed/recall trade disappears).
         # Queries are padded to the kernel's lane-block multiple; padded
         # rows carry entry -1 and never expand.
-        interp = beam_mode == "fused-interpret"
-        dk = dist_kernel and pq is None
         qp = max(512, -(-qn // 512) * 512)
         pad = qp - qn
         if pad:
@@ -648,6 +655,13 @@ def _hnsw_search_impl(
         from .ops.pq import adc_decode_distance
         ex = adc_decode_distance(pq, queries, vectors[safe], metric,
                                  exact=True)
+    elif dk:
+        # same arithmetic as the einsum branch below, f32-exact, at the
+        # kernel's speed (13.6x the XLA batched matvec at serving shape):
+        # the rerank is a full hop's worth of contraction ONCE per batch
+        from .ops.dist_kernel import gathered_vec_dist
+        ex = gathered_vec_dist(vectors[safe], queries, dequant,
+                               metric=metric, interpret=interp)
     else:
         vecs = vectors[safe].astype(jnp.float32)
         if dequant is not None:
