@@ -376,13 +376,15 @@ class HnswIndex:
                 # 128 and candidate groups tile m0) — otherwise the words
                 # fallback path unpacks per hop, slower than bytes+kernel —
                 # and (b) the segment pad to a 128-divisor word count
-                # inflates row bytes <= 25% (the ~1.4x gather win would
-                # drown in extra traffic past that; e.g. d=96 8-bit pads
-                # 24 -> 32 words = +33%, keep bytes there)
-                vals = wp * (32 // bits)
+                # inflates row bytes <= 60%: the gather-knee measurements
+                # (scripts/gather_knee_probe.py) put i32 8 KB rows at
+                # 77.6 ns/row vs u8 at 107-169 ns/row for 4-6.4 KB, so
+                # even d=96/100 8-bit (24/25 -> 32 words, +28% bytes)
+                # wins ~1.8x as words; past ~1.6x pad the byte traffic
+                # starts to dominate the dtype win
                 layout = ("words" if on_tpu and wp
                           and self.config.m0 % (128 // wp) == 0
-                          and vals * 4 <= self.config.dim * 5
+                          and wp * 4 * 10 <= self.config.dim * bits * 2
                           else "bytes")
             self._packed = pack_neighbors(
                 self._graph.neighbors0, self._vectors, self._graph.levels,

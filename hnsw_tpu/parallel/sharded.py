@@ -372,12 +372,13 @@ class ShardedHnswIndex:
         if layout == "auto":
             # same rule as HnswIndex.enable_packed: words on TPU when the
             # Pallas words kernel's tiling preconditions hold and segment
-            # padding inflates rows <= 25%
+            # padding inflates rows <= 60% (see the measured rationale
+            # there)
             wp = word_width(cfg.dim, bits)
             on_tpu = any(d.platform == "tpu" for d in self.mesh.devices.flat)
             layout = ("words" if on_tpu and wp
                       and cfg.m0 % (128 // wp) == 0
-                      and wp * (32 // bits) * 4 <= cfg.dim * 5
+                      and wp * 4 * 10 <= cfg.dim * bits * 2
                       else "bytes")
         # one STATIC row count for every shard (shard_map outputs must be
         # shape-uniform; round-robin keeps counts within 1 of each other)
