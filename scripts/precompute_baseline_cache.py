@@ -49,8 +49,13 @@ def main():
         return
 
     # ground truth for the capped query set — device brute force if a chip
-    # is up, else exact NumPy (fine at nq_cap=1000)
-    if wl.ground_truth is not None:
+    # is up, else exact NumPy (fine at nq_cap=1000). When the baseline is
+    # CAPPED (cpu_n < n), skip this entirely: _cpu_baseline_qps computes
+    # the subset GT itself (the full-set GT would go unused — and at
+    # deep10m it costs ~11 min of device time).
+    if cpu_n < n:
+        gt = None
+    elif wl.ground_truth is not None:
         gt = wl.ground_truth[:nq_cap, :10]
     else:
         t0 = time.time()
@@ -65,12 +70,9 @@ def main():
         except Exception as e:  # noqa: BLE001 — no chip: NumPy oracle
             print(f"[precompute] device GT unavailable ({e!r}) — NumPy",
                   flush=True)
-            q = np.asarray(queries[:nq_cap], np.float32)
-            b = np.asarray(base, np.float32)
-            gt = np.empty((nq_cap, 10), np.int64)
-            for s in range(0, nq_cap, 64):
-                dd = ((q[s:s+64, None, :] - b[None, :, :]) ** 2).sum(-1)
-                gt[s:s+64] = np.argsort(dd, axis=1)[:, :10]
+            # dot-product formulation (bench._subset_gt): the naive
+            # [64, n, d] broadcast is 245 GB at 1M x 960
+            gt = bench._subset_gt(base, queries[:nq_cap], wl.metric)
         print(f"[precompute] GT: {time.time()-t0:.1f}s", flush=True)
 
     qps, src = bench._cpu_baseline_qps(base, queries, gt, wl.metric, m, efc,
