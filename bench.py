@@ -43,6 +43,7 @@ from __future__ import annotations
 import json
 import logging
 import os
+import platform
 import sys
 import time
 
@@ -561,6 +562,12 @@ def _baseline_cache_get(key: str):
     return None, None
 
 
+_LAST_BASELINE_META: dict = {}  # provenance from the most recent
+# _cpu_baseline_qps run (host, date, reps, per-rep qps) — VERDICT r4 item
+# 7: the denominator was single-shot on a contended box; entries now carry
+# enough context to judge their error bar.
+
+
 def _baseline_cache_put(key: str, qps, source: str) -> None:
     if not qps:  # never cache a failed measurement (it would pin the
         return   # failure across runs; recomputing is the safe default)
@@ -571,7 +578,7 @@ def _baseline_cache_put(key: str, qps, source: str) -> None:
                 data = json.load(f)
         except Exception:  # noqa: BLE001
             pass
-        data[key] = {"qps": qps, "source": source}
+        data[key] = {"qps": qps, "source": source, **_LAST_BASELINE_META}
         os.makedirs(os.path.dirname(_BASELINE_CACHE), exist_ok=True)
         with open(_BASELINE_CACHE, "w") as f:
             json.dump(data, f, indent=1, sort_keys=True)
@@ -640,7 +647,24 @@ def _cpu_baseline_qps(base, queries, gt, metric, m, efc, target_recall):
             qps = nq_cap / dt
             _log(f"[bench] cpu ef={ef} recall={r:.4f} qps={qps:,.0f}")
             if r >= target_recall:
-                return round(qps, 1), "bundled-cpp-single-core"
+                # median-of-reps at the crossing ef (recall is
+                # deterministic for a built engine, only the timing is
+                # noisy on a shared host — VERDICT r4 item 7). Record
+                # provenance so the cache entry's error bar is auditable.
+                reps = max(1, int(os.environ.get("BENCH_CPU_REPS", 3)))
+                qps_reps = [qps]
+                for _ in range(reps - 1):
+                    t0 = time.time()
+                    eng.search(q, 10, ef_search=ef)
+                    qps_reps.append(nq_cap / (time.time() - t0))
+                med = float(np.median(qps_reps))
+                _LAST_BASELINE_META.update(
+                    host=platform.node(), date=time.strftime("%Y-%m-%d"),
+                    reps=reps, ef=ef, recall=round(float(r), 4),
+                    qps_reps=[round(x, 1) for x in qps_reps])
+                _log(f"[bench] cpu baseline median-of-{reps} at ef={ef}: "
+                     f"{med:,.1f} qps (reps {qps_reps})")
+                return round(med, 1), "bundled-cpp-single-core"
         # VERDICT.md r2 Weak #3: a baseline that never reaches the target
         # recall is NOT a valid denominator (a 0-point index "searches" at
         # 15M qps) — report failure instead of a nonsense ratio.

@@ -44,7 +44,7 @@ def main():
            f"|nq={nq_cap}|cpu_n={cpu_n}")
     print(f"[precompute] key={key}", flush=True)
     cached = bench._baseline_cache_get(key)
-    if cached[1] is not None:
+    if cached[1] is not None and os.environ.get("PRECOMPUTE_FORCE") != "1":
         print(f"[precompute] already cached: {cached}", flush=True)
         return
 
