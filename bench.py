@@ -460,6 +460,37 @@ def main():
              f"point: recall {chosen['recall@10']} at ef={chosen['ef']} "
              f"({chosen['qps']} qps). Reporting value=0.")
 
+    # ---- stream throughput at the op point (VERDICT.md r4 item 2): the
+    # single-batch wall above charges the FULL per-dispatch host<->device
+    # sync (~26 ms on this tunneled chip, sub-ms on a local host) to every
+    # batch. A serving system keeps the dispatch queue non-empty, so the
+    # honest throughput number pipelines BENCH_PIPELINE dispatches
+    # back-to-back and syncs once (execution is stream-ordered: syncing the
+    # last result fences them all). Measured marginal cost per queued
+    # dispatch: ~3 ms (scripts/pipeline_probe.py) — the sync amortizes
+    # almost perfectly. BENCH_PIPELINE=0/1 disables (headline = batch wall).
+    pipeline_depth = int(os.environ.get("BENCH_PIPELINE", 8))
+    qps_stream = None
+    if target_reached and pipeline_depth > 1:
+        kw_op = {"ef_search": chosen["ef"], "device_out": True}
+        if chosen.get("max_hops"):
+            kw_op["max_hops"] = chosen["max_hops"]
+        dd, ii = idx.search(queries_dev, k=10, **kw_op)  # warm
+        _sync_fetch(ii)
+        s_times = []
+        for _ in range(max(reps, 1)):
+            t0 = time.time()
+            for _ in range(pipeline_depth):
+                dd, ii = idx.search(queries_dev, k=10, **kw_op)
+            _sync_fetch(ii)
+            s_times.append(time.time() - t0)
+        qps_stream = pipeline_depth * len(queries) / min(s_times)
+        _log(f"[bench] stream qps (depth={pipeline_depth}, one sync): "
+             f"{qps_stream:,.0f} vs batch-wall {chosen['qps']:,.0f} "
+             f"(sync amortized: "
+             f"{min(s_times)/pipeline_depth*1e3:.1f} ms/batch vs "
+             f"{len(queries)/chosen['qps']*1e3:.1f} ms)")
+
     # ---- hnsw_stats at the operating point (ndis/hops, faiss parity)
     stats = HnswStats()
     t0 = time.time()
@@ -486,7 +517,12 @@ def main():
     if baseline_cached:
         _log(f"[bench] cpu baseline (cached): {base_qps} qps "
              f"[{base_src}] key={cache_key}")
-    vs = (chosen["qps"] / base_qps) if (base_qps and target_reached) else None
+    # headline = stream throughput when measured (and faster); single-batch
+    # wall is always in the detail line as qps_batch_wall
+    head_qps = chosen["qps"]
+    if qps_stream is not None and qps_stream > head_qps:
+        head_qps = round(qps_stream, 1)
+    vs = (head_qps / base_qps) if (base_qps and target_reached) else None
 
     metric_s = (f"qps/chip @ recall@10>={target_recall} "
                 f"({wl.name}, M={m}, efC={efc})")
@@ -495,7 +531,7 @@ def main():
                      f"{chosen['recall@10']} at ef={chosen['ef']})")
     out = {
         "metric": metric_s,
-        "value": chosen["qps"] if target_reached else 0.0,
+        "value": head_qps if target_reached else 0.0,
         "unit": "qps",
         "vs_baseline": round(vs, 3) if vs else None,
     }
@@ -514,17 +550,22 @@ def main():
         if base_src != "none":
             _baseline_cache_put(cache_key, base_qps, base_src)
         if base_qps and target_reached:
-            vs = chosen["qps"] / base_qps
+            vs = head_qps / base_qps
             _log(f"[bench] vs_baseline (freshly measured, cached for next "
                  f"run): {vs:.3f}")
     extra = {
         "target_reached": target_reached,
         "recall_at_op": chosen["recall@10"], "ef_at_op": chosen["ef"],
         "max_hops_at_op": chosen.get("max_hops", 0), "refined": refined,
+        "qps_batch_wall": chosen["qps"],
+        "qps_stream": round(qps_stream, 1) if qps_stream else None,
+        "pipeline_depth": pipeline_depth,
         "probe_disjoint": probe_disjoint,
         "build_seconds": round(build_s, 1),
         "build_inserts_per_s": round(n / build_s, 1),
-        "timing": f"best-of-{reps}, device-resident results, fetch-synced",
+        "timing": (f"best-of-{reps}, device-resident results, fetch-synced; "
+                   f"headline streams depth-{pipeline_depth} dispatches per "
+                   f"sync when that is faster"),
         "environment": env, "downsized": downsized,
         "ndis_per_query": round(stat_summary["ndis_per_query"], 1),
         "hops_per_batch": round(stat_summary["hops_per_batch"], 1),

@@ -69,6 +69,7 @@ class Searcher:
         self.max_hops = int(max_hops)
         self.min_bucket = int(min_bucket)
         self.max_bucket = int(max_bucket)
+        self._device_out = True   # falls to False on first TypeError
         self._queue: list[np.ndarray] = []
         self._pending: dict[int, _Pending] = {}
         self._results: dict[int, tuple] = {}
@@ -91,7 +92,17 @@ class Searcher:
 
     def search(self, x: np.ndarray, *, k: int | None = None,
                ef_search: int | None = None):
-        """Single-request path: pad to the size bucket, search, strip."""
+        """Single-request path: pad to the size bucket, search, strip.
+
+        Multi-chunk requests are PIPELINED when the index supports
+        ``device_out``: every chunk is dispatched before any result is
+        materialized, so the per-dispatch host sync of chunk *i* overlaps
+        the device compute of chunk *i+1* (measured on the tunneled dev
+        chip: ~26 ms sync amortizes to ~3 ms marginal per queued dispatch
+        — scripts/pipeline_probe.py). Indexes whose ``search`` rejects
+        ``device_out`` (e.g. ShardedHnswIndex, which owns its own
+        device->host boundary at the fan-out merge) fall back to the
+        materialize-per-chunk path."""
         x = np.ascontiguousarray(np.asarray(x, np.float32))
         if x.ndim == 1:
             x = x[None]
@@ -99,17 +110,27 @@ class Searcher:
         k = self.k if k is None else int(k)
         out_d = np.zeros((n, k), np.float32)
         out_i = np.zeros((n, k), np.int64)
+        pending = []     # (start, n_rows, device_d, device_i)
         for s in range(0, n, self.max_bucket):      # huge requests: chunk
             chunk = x[s:s + self.max_bucket]
             b = size_bucket(len(chunk), self.min_bucket, self.max_bucket)
             pad = b - len(chunk)
             xb = np.concatenate([chunk, np.broadcast_to(
                 chunk[-1:], (pad, x.shape[1]))]) if pad else chunk
-            d, i = self.index.search(xb, k, **self._kw(ef_search))
-            out_d[s:s + len(chunk)] = np.asarray(d)[: len(chunk)]
-            out_i[s:s + len(chunk)] = np.asarray(i)[: len(chunk)]
+            if self._device_out:
+                try:
+                    d, i = self.index.search(xb, k, device_out=True,
+                                             **self._kw(ef_search))
+                except TypeError:    # index doesn't take device_out
+                    self._device_out = False
+            if not self._device_out:
+                d, i = self.index.search(xb, k, **self._kw(ef_search))
+            pending.append((s, len(chunk), d, i))
             self.launches += 1
             self.rows_padded += pad
+        for s, nr, d, i in pending:  # materialize AFTER all dispatches
+            out_d[s:s + nr] = np.asarray(d)[:nr]
+            out_i[s:s + nr] = np.asarray(i)[:nr]
         self.queries_served += n
         return out_d, out_i
 

@@ -65,6 +65,25 @@ def test_coalescing_handles():
     np.testing.assert_array_equal(i3[0], s.search(q[10])[1][0])
 
 
+def test_device_out_fallback():
+    """Indexes whose search() rejects device_out (ShardedHnswIndex-style)
+    fall back to per-chunk materialization — same results, one downgrade."""
+    idx, wl = _index()
+
+    class NoDeviceOut:
+        def search(self, x, k, *, ef_search=None):
+            return idx.search(x, k, ef_search=ef_search)
+
+    q = np.asarray(wl.queries)
+    s = Searcher(NoDeviceOut(), k=10, ef_search=96,
+                 min_bucket=64, max_bucket=128)
+    d, i = s.search(q)                    # 200 -> 2 chunks, both fall back
+    assert not s._device_out              # downgrade latched after chunk 1
+    d_ref, i_ref = Searcher(idx, k=10, ef_search=96, min_bucket=64,
+                            max_bucket=128).search(q)
+    np.testing.assert_array_equal(i, i_ref)
+
+
 def test_auto_flush_at_max_bucket():
     idx, wl = _index()
     s = Searcher(idx, k=5, ef_search=64, min_bucket=64, max_bucket=64)
