@@ -45,6 +45,10 @@ class HnswIndex:
         self.n_expand = 1
         self.beam_keys = "auto"  # default merge-key dtype (see search())
         self.entry_mode = "auto"  # default entry selection (see search())
+        # back-link repair window (build.py DeviceBuilder): pairs beyond it
+        # are dropped (~0.014% of forward links at 1M with the default 16);
+        # set before the first add() — the builder is created lazily there
+        self.r_window = 16
 
         self._graph = self._vectors = self._sqnorms = None
         if _alloc:
@@ -215,7 +219,8 @@ class HnswIndex:
         if self._builder is None:
             self._builder = DeviceBuilder(self.config,
                                           sq_params=self._sq_np,
-                                          pq_cb=self._pq_np)
+                                          pq_cb=self._pq_np,
+                                          r_window=self.r_window)
         # hand over our array references for the duration of the call: the
         # builder donates them into its programs (and may relayout them
         # first); a second live reference here would keep capacity-sized
@@ -1033,7 +1038,8 @@ class HnswIndex:
         if "builder_rng_state" in extra:
             from ..build import DeviceBuilder
             idx._builder = DeviceBuilder(cfg, sq_params=idx._sq_np,
-                                         pq_cb=idx._pq_np)
+                                         pq_cb=idx._pq_np,
+                                         r_window=idx.r_window)
             idx._builder.rng.bit_generator.state = \
                 extra["builder_rng_state"]
         return idx

@@ -81,6 +81,7 @@ def test_sample_with_packed(built, wl):
     assert recall_at_k(i, gt, 10) >= 0.95
 
 
+@pytest.mark.slow  # compile-heavy standalone build; path covered by the fast representatives + dryrun
 def test_sample_with_sq8(wl):
     idx = hnsw_tpu.HnswIndex(32, 16, "l2", capacity=4096,
                              ef_construction=60, dtype="sq8")
@@ -102,6 +103,7 @@ def test_tombstones_pre_vacuum(wl):
     assert not np.isin(i[i >= 0], dead).any()
 
 
+@pytest.mark.slow  # compile-heavy standalone build; path covered by the fast representatives + dryrun
 def test_vacuum_isolated_nodes_never_entry(wl):
     """Post-vacuum, dead nodes keep their level but have cleared adjacency
     rows; a sampled entry landing there would strand the query with a
@@ -189,6 +191,7 @@ def test_seed_mode_legacy_fallback(built, wl):
     assert (np.asarray(i)[i >= 0] % 2 == 0).all()
 
 
+@pytest.mark.slow  # compile-heavy standalone build; path covered by the fast representatives + dryrun
 def test_seed_mode_vacuum(wl):
     """Seeds must never be vacuum-isolated nodes (cleared adjacency)."""
     idx = hnsw_tpu.HnswIndex(32, 16, "l2", capacity=4096, ef_construction=60)
@@ -201,6 +204,7 @@ def test_seed_mode_vacuum(wl):
     assert (i >= 0).all()
 
 
+@pytest.mark.slow  # compile-heavy standalone build; path covered by the fast representatives + dryrun
 def test_pq_auto_keeps_descend(wl):
     """entry_mode='auto' on PQ storage resolves to the descent (dense ADC
     over the sample would cost more than it saves); explicit 'sample' on

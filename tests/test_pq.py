@@ -160,6 +160,7 @@ def test_pq_save_load_roundtrip(tmp_path):
     assert idx2.ntotal == idx.ntotal + 8
 
 
+@pytest.mark.slow  # compile-heavy standalone build; path covered by the fast representatives + dryrun
 def test_pq_factory_filters_deletion_and_tune():
     wl = synthetic_workload(1200, 16, n_queries=32, metric="l2", seed=3)
     idx = index_factory(16, "HNSW8,PQ4", capacity=2048, ef_construction=60)
@@ -182,6 +183,7 @@ def test_pq_factory_filters_deletion_and_tune():
         idx.enable_packed(mode="sq")
 
 
+@pytest.mark.slow  # compile-heavy standalone build; path covered by the fast representatives + dryrun
 def test_pq_packed_rows_parity():
     """enable_packed() on pq storage: PQ-coded packed rows (PackedPQ).
     Routing reads one row per expanded node; ADC values are identical to
@@ -202,6 +204,7 @@ def test_pq_packed_rows_parity():
     np.testing.assert_allclose(d0[match], d1[match], rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow  # compile-heavy standalone build; path covered by the fast representatives + dryrun
 def test_pq_4bit_end_to_end():
     """pq_bits=4 (faiss PQx4 fast-scan geometry): ksub=16 codebooks,
     nibble-packed rows, same exact-over-x̂ contract."""
@@ -223,6 +226,7 @@ def test_pq_4bit_end_to_end():
     assert recall_at_k(i_p, gt_hat, 10) >= 0.95
 
 
+@pytest.mark.slow  # compile-heavy standalone build; path covered by the fast representatives + dryrun
 def test_pq_routing_rows_on_flat_storage():
     """enable_packed(mode='pq') on FLAT storage: routing-only codebooks,
     ADC routing + exact f32 rerank — the low-memory packed configuration
@@ -257,6 +261,7 @@ def test_pq_routing_rows_on_flat_storage():
     assert recall_at_k(i2, gt, 10) >= r_un - 0.05
 
 
+@pytest.mark.slow  # compile-heavy standalone build; path covered by the fast representatives + dryrun
 def test_pq_packed_incremental_add():
     """add() after enable_packed() on pq storage maintains the PackedPQ
     rows incrementally; post-add packed search equals a fresh re-pack."""

@@ -133,3 +133,16 @@ def test_all_invalid_is_noop():
         jnp.zeros(4, jnp.int32), jnp.zeros(4, bool),
         jnp.zeros((n, 4), jnp.float32))[0])
     assert (got == adj).all()
+
+
+def test_index_r_window_reaches_builder():
+    """HnswIndex.r_window is consumed by the lazily created DeviceBuilder
+    (the back-link-completeness lever, scripts/backlink_probe.py)."""
+    import hnsw_tpu
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((600, 16), dtype=np.float32)
+    idx = hnsw_tpu.HnswIndex(16, 8, "l2", capacity=1024, ef_construction=40)
+    idx.r_window = 32
+    idx.add(x)
+    assert idx._builder.r_window == 32
+    assert not idx.check(strict=False)["errors"]

@@ -99,6 +99,7 @@ def test_sharded_invariants(sharded_built):
         assert st["errors"] == []
 
 
+@pytest.mark.slow  # compile-heavy standalone build; path covered by the fast representatives + dryrun
 def test_sharded_ip_metric():
     """The sharded test matrix mirrors the single-chip one (VERDICT.md r2
     item 9): inner-product metric through build, fan-out, and merge."""
@@ -155,6 +156,7 @@ def test_sharded_deletion_survives_save_load(tmp_path, sharded_built):
         assert not np.isin(i, removed).any()
 
 
+@pytest.mark.slow  # compile-heavy standalone build; path covered by the fast representatives + dryrun
 def test_uneven_shard_counts():
     """A shard count that does not divide the device count or the point
     count: 3 shards on the 8-device host, 1000 points (334/333/333)."""
@@ -173,6 +175,7 @@ def test_uneven_shard_counts():
         assert st["errors"] == []
 
 
+@pytest.mark.slow  # compile-heavy standalone build; path covered by the fast representatives + dryrun
 def test_sharded_sq8_storage(tmp_path):
     """sq8 storage composes with the sharded build/search (one shared
     quantizer across shards, models/hnsw.py semantics)."""
@@ -202,6 +205,7 @@ def test_sharded_sq8_storage(tmp_path):
     np.testing.assert_allclose(d, d2, rtol=1e-5)
 
 
+@pytest.mark.slow  # compile-heavy standalone build; path covered by the fast representatives + dryrun
 def test_sharded_packed_serving():
     """enable_packed(): per-shard code tables built as one shard_map
     program; packed fan-out search matches unpacked recall (routing is
@@ -247,6 +251,7 @@ def test_sharded_packed_serving():
     assert not idx2.packed_enabled
 
 
+@pytest.mark.slow  # compile-heavy standalone build; path covered by the fast representatives + dryrun
 def test_sharded_packed_sq8_and_4bit():
     """Packed rows over sq8 storage (stored codes ARE routing codes at
     8-bit) and 4-bit rows (half the bytes, coarser routing absorbed by
@@ -270,6 +275,7 @@ def test_sharded_packed_sq8_and_4bit():
     assert recall_at_k(i_4, gt, 10) >= r_u - 0.05
 
 
+@pytest.mark.slow  # compile-heavy standalone build; path covered by the fast representatives + dryrun
 def test_sharded_composes_with_wrappers():
     """PreTransformIndex / IdMapIndex / Searcher wrap the sharded index
     like any other (faiss composability parity)."""
